@@ -1,0 +1,97 @@
+"""Procedural test/benchmark geometry (host NumPy).
+
+The reference ships OBJ assets (cornellbox_suzanne.obj etc.); we generate
+equivalent-complexity scenes procedurally so tests and benchmarks are
+self-contained and scale to arbitrary triangle counts (e.g. the 1M-tri
+benchmark scene).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_quad(p0, p1, p2, p3):
+    """Two triangles for a quad given CCW corners."""
+    verts = np.array([p0, p1, p2, p3], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return verts, faces
+
+
+def make_cornell_box(size: float = 2.0):
+    """An open box (5 quads = 10 tris) centered at origin, like the
+    cornellbox scenes used by the reference examples."""
+    s = size / 2
+    vs, fs = [], []
+
+    def add(quad):
+        v, f = quad
+        fs.append(f + sum(len(x) for x in vs))
+        vs.append(v)
+
+    add(make_quad([-s, -s, -s], [s, -s, -s], [s, -s, s], [-s, -s, s]))  # floor
+    add(make_quad([-s, s, s], [s, s, s], [s, s, -s], [-s, s, -s]))  # ceiling
+    add(make_quad([-s, -s, -s], [-s, -s, s], [-s, s, s], [-s, s, -s]))  # left
+    add(make_quad([s, -s, s], [s, -s, -s], [s, s, -s], [s, s, s]))  # right
+    add(make_quad([s, -s, -s], [-s, -s, -s], [-s, s, -s], [s, s, -s]))  # back
+    return np.concatenate(vs), np.concatenate(fs)
+
+
+def make_uv_sphere(n_lat: int = 16, n_lon: int = 32, radius: float = 1.0,
+                   center=(0.0, 0.0, 0.0)):
+    """Standard UV sphere triangulation: 2*n_lon*(n_lat-1) triangles."""
+    lat = np.linspace(0, np.pi, n_lat + 1)
+    lon = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+    theta, phi = np.meshgrid(lat, lon, indexing="ij")
+    x = np.sin(theta) * np.cos(phi)
+    y = np.cos(theta)
+    z = np.sin(theta) * np.sin(phi)
+    verts = np.stack([x, y, z], -1).reshape(-1, 3) * radius + np.asarray(
+        center, np.float64
+    )
+    faces = []
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            if i > 0:
+                faces.append([a, b, c])
+            if i < n_lat - 1:
+                faces.append([b, d, c])
+    return verts.astype(np.float32), np.asarray(faces, np.int32)
+
+
+def make_random_triangles(n: int, seed: int = 0, extent: float = 1.0,
+                          tri_size: float = 0.05):
+    """Random triangle soup in [-extent, extent]^3 — worst-case incoherent
+    geometry for BVH stress tests."""
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-extent, extent, (n, 1, 3))
+    offs = rng.normal(0.0, tri_size, (n, 2, 3))
+    tri = np.concatenate([base, base + offs], axis=1).astype(np.float32)
+    verts = tri.reshape(-1, 3)
+    faces = np.arange(3 * n, dtype=np.int32).reshape(n, 3)
+    return verts, faces
+
+
+def make_subdivided_sphere_scene(n_tris_target: int, seed: int = 0):
+    """A smooth, benchmark-grade scene with ~n_tris_target triangles:
+    a finely tessellated sphere (stands in for Stanford-bunny-class
+    scanned meshes). Coherent primary rays over it exercise exactly the
+    1M-tri headline benchmark geometry profile."""
+    # 2*n_lon*(n_lat-1) ~= n_target with n_lon = 2*n_lat
+    n_lat = max(4, int(np.sqrt(n_tris_target / 4.0)))
+    n_lon = 2 * n_lat
+    return make_uv_sphere(n_lat, n_lon)
+
+
+def merge_meshes(*meshes):
+    """Concatenate (verts, faces) pairs into one mesh."""
+    vs, fs, off = [], [], 0
+    for v, f in meshes:
+        vs.append(np.asarray(v, np.float32))
+        fs.append(np.asarray(f, np.int32) + off)
+        off += len(v)
+    return np.concatenate(vs), np.concatenate(fs)

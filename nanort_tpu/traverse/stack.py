@@ -1,0 +1,238 @@
+"""Vmapped stack-based BVH traversal (pure JAX).
+
+The reference traverses one ray with an iterative depth-first loop over a
+512-entry node stack, visiting the near child first by per-axis direction
+sign (``BVHAccel::Traverse``, nanort.h:2487-2556). Here the same loop is a
+``lax.while_loop`` over *per-ray* register state, ``vmap``-ed over a ray
+megabatch: every iteration processes one stack entry per ray in lockstep,
+with masking for rays whose work differs. Node fetches become batched
+gathers; leaf tests evaluate a statically-sized window of
+``max_leaf_primitives`` primitives with masking.
+
+This is the v0 device traversal (SURVEY.md step 4) and the correctness
+anchor for the Pallas wavefront kernel: identical hit records, including
+the reference's tie-breaking (equal-t replaces, so the last equal-t hit in
+traversal order wins — nanort.h:1131-1139 via TestLeafNode, 2372-2407).
+
+Stack depth: the reference allots 512 words/ray; for trees built with our
+``max_leaf_primitives`` cap, depth rarely exceeds ~48 for 1M prims. The
+``max_stack`` default (64) is a parameter; overflow would wrap, so deep
+unbalanced trees should raise it (tests validate against tree depth).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..core.aabb import intersect_ray_aabb
+from ..core.math import safe_inverse
+from ..core.options import BVHTraceOptions, INVALID_PRIM_ID
+from ..core.ray import Hits, Rays
+from ..ops import triangle as tri
+from ..ops.protocol import apply_trace_filters
+
+
+def _traverse_batch(
+    bvh,
+    prims,
+    rays: Rays,
+    ctx,
+    skip,
+    options: BVHTraceOptions,
+    intersect_fn: Callable,
+    max_leaf: int,
+    max_stack: int,
+) -> Hits:
+    """Lockstep traversal of a flat ray batch (rays fields are (R, ...))."""
+    dt = rays.dtype
+    R = rays.org.shape[0]
+
+    bmin = jnp.asarray(bvh.bmin, dt)
+    bmax = jnp.asarray(bvh.bmax, dt)
+    flag = jnp.asarray(bvh.flag, jnp.int32)
+    axis = jnp.asarray(bvh.axis, jnp.int32)
+    data = jnp.asarray(bvh.data).astype(jnp.int32)
+    indices = jnp.asarray(bvh.indices).astype(jnp.int32)
+
+    dir_neg = rays.dir < 0  # (R, 3) (nanort.h:2506-2509)
+    inv_dir = safe_inverse(rays.dir)
+
+    stack = jnp.zeros((R, max_stack), jnp.int32)  # root pre-seeded at slot 0
+    sp0 = jnp.zeros((R,), jnp.int32)
+    t0 = rays.max_t
+    u0 = jnp.zeros((R,), dt)
+    v0 = jnp.zeros((R,), dt)
+    id0 = jnp.full((R,), INVALID_PRIM_ID, jnp.uint32)
+    lpos = jnp.arange(max_leaf, dtype=jnp.int32)
+
+    def cond(state):
+        sp = state[0]
+        return jnp.any(sp >= 0)
+
+    def body(state):
+        sp, stk, t, u, v, pid = state
+        active = sp >= 0
+        slot = jnp.maximum(sp, 0)
+        idx = jnp.take_along_axis(stk, slot[:, None], axis=1)[:, 0]
+        sp = jnp.where(active, sp - 1, sp)
+
+        nb_lo = jnp.take(bmin, idx, axis=0)
+        nb_hi = jnp.take(bmax, idx, axis=0)
+        nflag = jnp.take(flag, idx, axis=0)
+        naxis = jnp.take(axis, idx, axis=0)
+        nd = jnp.take(data, idx, axis=0)  # (R, 2)
+
+        box_hit, _, _ = intersect_ray_aabb(
+            nb_lo, nb_hi, rays.org, inv_dir, dir_neg, rays.min_t, t
+        )
+        box_hit = box_hit & active
+        is_leaf = nflag == 1
+
+        # --- branch: push far then near (near popped first) ---
+        near_sel = jnp.take_along_axis(dir_neg, naxis[:, None], axis=1)[:, 0]
+        near = jnp.where(near_sel, nd[:, 1], nd[:, 0])
+        far = jnp.where(near_sel, nd[:, 0], nd[:, 1])
+        push = box_hit & ~is_leaf
+        s1 = jnp.minimum(sp + 1, max_stack - 1)
+        s2 = jnp.minimum(sp + 2, max_stack - 1)
+        rr = jnp.arange(R)
+        stk_pushed = stk.at[rr, s1].set(jnp.where(push, far, stk[rr, s1]))
+        stk_pushed = stk_pushed.at[rr, s2].set(
+            jnp.where(push, near, stk_pushed[rr, s2])
+        )
+        stk = stk_pushed
+        sp = jnp.where(push, sp + 2, sp)
+
+        # --- leaf: masked fixed-window primitive test ---
+        do_leaf = box_hit & is_leaf
+        count = nd[:, 0]
+        offset = nd[:, 1]
+        lidx = offset[:, None] + lpos[None, :]  # (R, L)
+        lval = (lpos[None, :] < count[:, None]) & do_leaf[:, None]
+        lidx = jnp.where(lval, lidx, 0)
+        pids = jnp.take(indices, lidx, axis=0).astype(jnp.uint32)
+        valid, tt, uu, vv = intersect_fn(prims, ctx, pids, t)
+        valid = valid & lval
+        valid = apply_trace_filters(valid, pids, options.prim_ids_range, skip)
+
+        # replace-on-<= with last-equal-wins inside the leaf window
+        big = jnp.array(jnp.finfo(dt).max, dt)
+        t_m = jnp.where(valid, tt, big)
+        t_best = jnp.min(t_m, axis=-1)
+        is_best = valid & (t_m == t_best[:, None])
+        best_pos = jnp.max(jnp.where(is_best, lpos[None, :], -1), axis=-1)
+        got = best_pos >= 0
+        sel = jnp.maximum(best_pos, 0)[:, None]
+        take1 = lambda a: jnp.take_along_axis(a, sel, axis=1)[:, 0]
+        upd = got & (t_best <= t)
+        t = jnp.where(upd, t_best, t)
+        u = jnp.where(upd, take1(uu), u)
+        v = jnp.where(upd, take1(vv), v)
+        pid = jnp.where(upd, take1(pids), pid)
+        return sp, stk, t, u, v, pid
+
+    _, _, t, u, v, pid = jax.lax.while_loop(
+        cond, body, (sp0, stack, t0, u0, v0, id0)
+    )
+    hit = t < rays.max_t  # nanort.h:2552
+    return Hits(
+        t=t,
+        u=jnp.where(hit, u, jnp.zeros((), dt)),
+        v=jnp.where(hit, v, jnp.zeros((), dt)),
+        prim_id=jnp.where(hit, pid, jnp.uint32(INVALID_PRIM_ID)),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "options",
+        "prepare_fn",
+        "intersect_fn",
+        "max_leaf",
+        "max_stack",
+        "skip_is_array",
+    ),
+)
+def _traverse_jit(
+    bvh,
+    prims,
+    rays,
+    skip_prim_id,
+    options,
+    prepare_fn,
+    intersect_fn,
+    max_leaf,
+    max_stack,
+    skip_is_array,
+):
+    bs = rays.batch_shape
+    flat = jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[len(bs):]), rays
+    )
+    skip = skip_prim_id.reshape(-1) if skip_is_array else options.skip_prim_id
+    ctx = prepare_fn(prims, flat)
+    hits = _traverse_batch(
+        bvh, prims, flat, ctx, skip, options, intersect_fn, max_leaf, max_stack
+    )
+    return jax.tree_util.tree_map(lambda x: x.reshape(bs), hits)
+
+
+def traverse(
+    bvh,
+    prims,
+    rays: Rays,
+    options: BVHTraceOptions = BVHTraceOptions(),
+    *,
+    prepare_fn: Callable,
+    intersect_fn: Callable,
+    max_leaf: int,
+    skip_prim_id=None,
+    max_stack: int = 64,
+) -> Hits:
+    """Generic BVH traversal for any primitive kind (see ops.protocol)."""
+    skip_is_array = skip_prim_id is not None
+    return _traverse_jit(
+        bvh,
+        prims,
+        rays,
+        skip_prim_id if skip_is_array else jnp.uint32(0),
+        options,
+        prepare_fn,
+        intersect_fn,
+        max_leaf,
+        max_stack,
+        skip_is_array,
+    )
+
+
+def traverse_triangles(
+    bvh,
+    mesh: tri.TriangleMesh,
+    rays: Rays,
+    options: BVHTraceOptions = BVHTraceOptions(),
+    skip_prim_id=None,
+    max_leaf: int = 4,
+    max_stack: int = 64,
+) -> Hits:
+    """Triangle-mesh traversal (reference BVHAccel<float>::Traverse +
+    TriangleIntersector)."""
+    intersect_fn = tri.make_triangle_intersect(
+        cull_back_face=options.cull_back_face,
+        exact_edge_fallback=options.exact_edge_fallback,
+    )
+    return traverse(
+        bvh,
+        mesh,
+        rays,
+        options,
+        prepare_fn=tri.triangle_prepare,
+        intersect_fn=intersect_fn,
+        max_leaf=max_leaf,
+        skip_prim_id=skip_prim_id,
+        max_stack=max_stack,
+    )
