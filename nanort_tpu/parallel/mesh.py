@@ -1,0 +1,131 @@
+"""Multi-chip ray-parallel rendering via jax.sharding + shard_map.
+
+The reference's only parallelism is intra-node threads over scanlines
+(SURVEY.md §2.7). The TPU-native equivalent: the scene (BVH + geometry) is
+replicated per chip (scenes <= HBM), the ray megabatch is sharded over a
+1-D device mesh, and every chip traverses its shard independently — pure
+data parallelism with zero inter-chip traffic during traversal. The only
+collectives are the final image gather (an all-gather implied by the
+output sharding) and optional psum'd render statistics, which ride ICI.
+
+For scenes that exceed HBM the plan (SURVEY.md §2.7 "Distributed backend")
+is to shard two-level-BVH node chunks and exchange rays via all-to-all;
+that lands with the scene-graph layer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.options import BVHTraceOptions, INVALID_PRIM_ID
+from ..core.ray import Hits, Rays
+from ..ops.triangle import TriangleMesh
+from ..traverse import stack as _stack
+from ..ops import triangle as tri
+
+RAY_AXIS = "rays"
+
+
+def ray_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D device mesh over which ray batches shard."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (RAY_AXIS,))
+
+
+def shard_rays(rays: Rays, mesh: Mesh) -> Rays:
+    """Place a ray batch sharded over its leading axis."""
+    sh = NamedSharding(mesh, P(RAY_AXIS))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), rays)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), sh), tree)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("options", "max_leaf", "max_stack", "mesh_ctx"),
+)
+def _sharded_traverse_impl(
+    bvh, prims, rays, options, max_leaf, max_stack, mesh_ctx
+):
+    mesh = mesh_ctx.mesh
+    intersect_fn = tri.make_triangle_intersect(
+        cull_back_face=options.cull_back_face,
+        exact_edge_fallback=options.exact_edge_fallback,
+    )
+
+    def local(bvh_l, prims_l, rays_l):
+        hits = _stack.traverse(
+            bvh_l,
+            prims_l,
+            rays_l,
+            options,
+            prepare_fn=tri.triangle_prepare,
+            intersect_fn=intersect_fn,
+            max_leaf=max_leaf,
+            max_stack=max_stack,
+        )
+        # psum'd hit count: render statistics ride ICI, demonstrating the
+        # collective path without touching the hot loop
+        n_hit = jax.lax.psum(
+            jnp.sum(hits.prim_id != jnp.uint32(INVALID_PRIM_ID)), RAY_AXIS
+        )
+        return hits, n_hit
+
+    shard_fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS)),
+        out_specs=(P(RAY_AXIS), P()),
+    )
+    return shard_fn(bvh, prims, rays)
+
+
+class _MeshCtx:
+    """Hashable wrapper so a Mesh can be a static jit argument."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    def __hash__(self):
+        return hash((self.mesh.shape_tuple, self.mesh.axis_names))
+
+    def __eq__(self, other):
+        return isinstance(other, _MeshCtx) and self.mesh == other.mesh
+
+
+def sharded_traverse_triangles(
+    bvh,
+    mesh_geom: TriangleMesh,
+    rays: Rays,
+    device_mesh: Mesh,
+    options: BVHTraceOptions = BVHTraceOptions(),
+    max_leaf: int = 4,
+    max_stack: int = 64,
+):
+    """Traverse a ray batch sharded across ``device_mesh``.
+
+    Returns (hits sharded like the rays, total hit count). The leading ray
+    axis must be divisible by the mesh size.
+    """
+    n = device_mesh.devices.size
+    lead = rays.org.shape[0]
+    if lead % n:
+        raise ValueError(f"ray batch {lead} not divisible by mesh size {n}")
+    bvh_r = replicate(bvh, device_mesh)
+    geom_r = replicate(mesh_geom, device_mesh)
+    rays_s = shard_rays(rays, device_mesh)
+    return _sharded_traverse_impl(
+        bvh_r, geom_r, rays_s, options, max_leaf, max_stack,
+        _MeshCtx(device_mesh),
+    )

@@ -61,12 +61,16 @@ def _traverse_batch(
     dir_neg = rays.dir < 0  # (R, 3) (nanort.h:2506-2509)
     inv_dir = safe_inverse(rays.dir)
 
-    stack = jnp.zeros((R, max_stack), jnp.int32)  # root pre-seeded at slot 0
-    sp0 = jnp.zeros((R,), jnp.int32)
+    # derive all carries from ray data so they are "varying" over any
+    # shard_map mesh axis (constants would be replicated and trip the
+    # while_loop vma check under jax.shard_map)
+    zero = jnp.zeros_like(rays.max_t)
+    stack = jnp.zeros((R, max_stack), jnp.int32) + zero.astype(jnp.int32)[:, None]
+    sp0 = zero.astype(jnp.int32)  # root pre-seeded at stack slot 0
     t0 = rays.max_t
-    u0 = jnp.zeros((R,), dt)
-    v0 = jnp.zeros((R,), dt)
-    id0 = jnp.full((R,), INVALID_PRIM_ID, jnp.uint32)
+    u0 = zero
+    v0 = zero
+    id0 = zero.astype(jnp.uint32) + jnp.uint32(INVALID_PRIM_ID)
     lpos = jnp.arange(max_leaf, dtype=jnp.int32)
 
     def cond(state):
