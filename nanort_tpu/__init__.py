@@ -41,10 +41,30 @@ from .traverse.stack import traverse, traverse_triangles
 __version__ = "0.1.0"
 
 
-def build_triangle_bvh(mesh, options: BVHBuildOptions = BVHBuildOptions()):
+def build_triangle_bvh(
+    mesh, options: BVHBuildOptions = BVHBuildOptions(), use_native: bool = True
+):
     """Convenience: per-face bounds -> binned-SAH linear BVH.
 
     Equivalent of ``BVHAccel<float>::Build(num_faces, TriangleMesh,
-    TriangleSAHPred, options)`` (nanort.h:716-718, 1892-2149)."""
+    TriangleSAHPred, options)`` (nanort.h:716-718, 1892-2149). Uses the
+    multithreaded C++ builder for f32 meshes when the native toolchain is
+    available (like the reference's parallel C++ build), the NumPy builder
+    otherwise (and always for f64, which the native path doesn't carry)."""
+    import numpy as _np
+
+    dtype = _np.asarray(mesh.vertices).dtype
+    if use_native and dtype == _np.float32:
+        from .build.native import (
+            build_sah_native,
+            native_available,
+            triangle_bounds_native,
+        )
+
+        if native_available():
+            bmin, bmax, centers = triangle_bounds_native(
+                _np.asarray(mesh.vertices), _np.asarray(mesh.faces)
+            )
+            return build_sah_native(bmin, bmax, centers, options)
     bmin, bmax, centers = triangle_prim_bounds(mesh)
     return build_sah(bmin, bmax, centers, options)

@@ -1,0 +1,147 @@
+"""BVH8: 8-wide collapse of the binary BVH for the Pallas packet kernel.
+
+One BVH8 node occupies exactly one (1, 128)-lane float32 row — the natural
+unit of a TPU VMEM fetch — so the packet traversal kernel pays a single
+sublane-dynamic row read per step instead of 2-3 dependent pointer chases
+(dynamic *lane* slicing is illegal on TPU: indices in the last dim must be
+128-aligned, so the row IS the node):
+
+  lanes [8c, 8c+6):   child c AABB (bmin.xyz, bmax.xyz), c in 0..7
+  lane  64 + c:       child c meta, stored as an exact float integer
+                      (scalar extraction of a float lane is a cheap SMEM
+                      load; a bitcast int lane would force a vector
+                      register -> scalar sync per extract):
+                        >= 0  -> internal: BVH8 row index of the child
+                        <  0  -> leaf: -(leaf_row + 1) into the leaf table
+  lane  72 + c:       child c leaf triangle count (0 for internal/empty)
+  float-int encoding is exact to 2^24: scenes are capped at 16.7M
+  primitives per BVH8 (the binary BVH keeps the reference's 2G cap)
+  empty slots carry an inverted box (never hit) and count 0.
+
+Leaf table rows pack up to 10 triangles (one binary-BVH leaf each):
+
+  lanes [9t, 9t+9):   triangle t vertices (p0, p1, p2 xyz)
+  lane  90 + t:       triangle t original prim id (exact float integer)
+
+The collapse walks the binary tree (build.sah output, reference layout
+nanort.h:1759-1890) and repeatedly expands the largest-surface-area member
+of the cut until 8 slots fill — the standard greedy BVH2->BVH8 conversion.
+Requires the binary build to use ``max_leaf_primitives <= 10``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from ..core.bvh import BVH
+
+MAX_LEAF_TRIS = 10
+EMPTY_BIG = 3.0e38
+
+
+class BVH8Scene(NamedTuple):
+    nodes: np.ndarray  # (N8, 128) f32
+    leafs: np.ndarray  # (M, 128) f32
+    num_nodes: int
+    num_leaf_rows: int
+    depth: int  # BVH8 tree depth (stack sizing)
+    max_leaf: int  # max triangles in any leaf row (kernel unroll bound)
+
+
+def _surface_area(bmin, bmax):
+    d = np.maximum(bmax - bmin, 0.0)
+    return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+
+def collapse_bvh8(bvh: BVH, vertices, faces) -> BVH8Scene:
+    vertices = np.asarray(vertices, np.float32)
+    faces = np.asarray(faces)
+    bmin = np.asarray(bvh.bmin, np.float32)
+    bmax = np.asarray(bvh.bmax, np.float32)
+    flag = np.asarray(bvh.flag)
+    data = np.asarray(bvh.data).astype(np.int64)
+    indices = np.asarray(bvh.indices).astype(np.int64)
+
+    # ---- leaf table: one row per binary leaf ----
+    if indices.shape[0] > (1 << 24):
+        raise ValueError("BVH8 float-int lanes are exact to 2^24 prims")
+    leaf_ids = np.nonzero(flag == 1)[0]
+    counts = data[leaf_ids, 0]
+    if counts.max(initial=0) > MAX_LEAF_TRIS:
+        raise ValueError(
+            f"binary leaves must hold <= {MAX_LEAF_TRIS} tris for BVH8 "
+            f"packing (got {counts.max()}); build with "
+            f"max_leaf_primitives<={MAX_LEAF_TRIS}"
+        )
+    leaf_row_of = np.full(flag.shape[0], -1, np.int64)
+    leaf_row_of[leaf_ids] = np.arange(leaf_ids.shape[0])
+    m = leaf_ids.shape[0]
+    leafs = np.zeros((max(m, 1), 128), np.float32)
+    tri_all = vertices[faces[indices]].reshape(-1, 9)  # leaf-ordered
+    pid_all = indices.astype(np.int32)
+    for r, (li, cnt) in enumerate(zip(leaf_ids, counts)):
+        off = data[li, 1]
+        k = int(cnt)
+        leafs[r, : 9 * k] = tri_all[off : off + k].reshape(-1)
+        leafs[r, 90 : 90 + k] = pid_all[off : off + k].astype(np.float32)
+
+    # ---- node collapse ----
+    def cut8(root: int):
+        """Greedy cut of up to 8 binary descendants under `root`."""
+        if flag[root] == 1:
+            return [root]
+        cut = [int(data[root, 0]), int(data[root, 1])]
+        while len(cut) < 8:
+            best, best_sa = -1, -1.0
+            for j, c in enumerate(cut):
+                if flag[c] == 0:
+                    sa = _surface_area(bmin[c], bmax[c])
+                    if sa > best_sa:
+                        best, best_sa = j, sa
+            if best < 0:
+                break
+            c = cut.pop(best)
+            cut.extend((int(data[c, 0]), int(data[c, 1])))
+        return cut
+
+    rows: list[np.ndarray] = []
+    max_depth = 0
+    # preorder emission with parent patch: (binary root, parent row, slot, depth)
+    stack = [(0, -1, 0, 0)]
+    while stack:
+        broot, parent, slot, depth = stack.pop()
+        max_depth = max(max_depth, depth)
+        my = len(rows)
+        row = np.zeros(128, np.float32)
+        row[0:64:8] = EMPTY_BIG  # empty-slot bmin.x
+        row[1:64:8] = EMPTY_BIG
+        row[2:64:8] = EMPTY_BIG
+        row[3:64:8] = -EMPTY_BIG
+        row[4:64:8] = -EMPTY_BIG
+        row[5:64:8] = -EMPTY_BIG
+        rows.append(row)
+        if parent >= 0:
+            rows[parent][64 + slot] = np.float32(my)
+        children = cut8(broot)
+        for c, b in enumerate(children):
+            row[8 * c : 8 * c + 3] = bmin[b]
+            row[8 * c + 3 : 8 * c + 6] = bmax[b]
+            if flag[b] == 1:
+                lr = leaf_row_of[b]
+                row[64 + c] = np.float32(-(lr + 1))
+                row[72 + c] = np.float32(data[b, 0])
+            else:
+                # placeholder patched when the child row is emitted
+                stack.append((b, my, c, depth + 1))
+
+    nodes = np.stack(rows) if rows else np.zeros((1, 128), np.float32)
+    return BVH8Scene(
+        nodes=nodes,
+        leafs=leafs,
+        num_nodes=nodes.shape[0],
+        num_leaf_rows=m,
+        depth=max_depth + 1,
+        max_leaf=int(counts.max(initial=1)),
+    )

@@ -95,3 +95,79 @@ def merge_meshes(*meshes):
         fs.append(np.asarray(f, np.int32) + off)
         off += len(v)
     return np.concatenate(vs), np.concatenate(fs)
+
+
+def make_cornell_pt_scene(size: float = 2.0, light_scale: float = 0.4):
+    """Classic Cornell box for the path tracer: colored side walls, white
+    floor/ceiling/back, two boxes, and an emissive ceiling quad.
+
+    Returns (vertices, faces, material_ids, materials_dict) where
+    materials_dict holds per-material arrays matching models.path_tracer.
+    Materials: 0 white, 1 red, 2 green, 3 light, 4 mirror, 5 glass.
+    """
+    s = size / 2
+    vs, fs, mids = [], [], []
+
+    def add(quad, mat):
+        v, f = quad
+        off = sum(len(x) for x in vs)
+        vs.append(v)
+        fs.append(f + off)
+        mids.extend([mat, mat])
+
+    add(make_quad([-s, -s, -s], [s, -s, -s], [s, -s, s], [-s, -s, s]), 0)  # floor
+    add(make_quad([-s, s, s], [s, s, s], [s, s, -s], [-s, s, -s]), 0)  # ceiling
+    add(make_quad([-s, -s, -s], [-s, -s, s], [-s, s, s], [-s, s, -s]), 1)  # left red
+    add(make_quad([s, -s, s], [s, -s, -s], [s, s, -s], [s, s, s]), 2)  # right green
+    add(make_quad([s, -s, -s], [-s, -s, -s], [-s, s, -s], [s, s, -s]), 0)  # back
+    # ceiling light (slightly below ceiling; winding chosen so the
+    # geometric normal faces down into the box — the cosine EDF and NEE
+    # cosAtLight use it)
+    l = s * light_scale
+    ly = s - 0.01 * size
+    add(make_quad([-l, ly, -l], [l, ly, -l], [l, ly, l], [-l, ly, l]), 3)
+
+    # tall box (mirror-ish) and short box (white)
+    def add_box(cx, cz, w, h, mat):
+        x0, x1 = cx - w, cx + w
+        z0, z1 = cz - w, cz + w
+        y0, y1 = -s, -s + h
+        add(make_quad([x0, y1, z0], [x0, y1, z1], [x1, y1, z1], [x1, y1, z0]), mat)  # top
+        add(make_quad([x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1]), mat)  # front
+        add(make_quad([x1, y0, z0], [x0, y0, z0], [x0, y1, z0], [x1, y1, z0]), mat)  # back
+        add(make_quad([x0, y0, z0], [x0, y0, z1], [x0, y1, z1], [x0, y1, z0]), mat)  # left
+        add(make_quad([x1, y0, z1], [x1, y0, z0], [x1, y1, z0], [x1, y1, z1]), mat)  # right
+
+    add_box(-0.35 * s, -0.3 * s, 0.3 * s, 1.2 * s, 0)
+    add_box(0.45 * s, 0.35 * s, 0.25 * s, 0.55 * s, 0)
+
+    verts = np.concatenate(vs)
+    faces = np.concatenate(fs)
+    material_ids = np.asarray(mids, np.int32)
+    materials = dict(
+        diffuse=np.array(
+            [
+                [0.75, 0.75, 0.75],
+                [0.75, 0.10, 0.10],
+                [0.10, 0.75, 0.10],
+                [0.0, 0.0, 0.0],
+                [0.02, 0.02, 0.02],
+                [0.0, 0.0, 0.0],
+            ],
+            np.float32,
+        ),
+        emission=np.array(
+            [[0, 0, 0], [0, 0, 0], [0, 0, 0], [14.0, 13.0, 11.0], [0, 0, 0], [0, 0, 0]],
+            np.float32,
+        ),
+        specular=np.array(
+            [[0, 0, 0], [0, 0, 0], [0, 0, 0], [0, 0, 0], [0.9, 0.9, 0.9], [0.1, 0.1, 0.1]],
+            np.float32,
+        ),
+        transmittance=np.array(
+            [[0, 0, 0]] * 5 + [[0.95, 0.95, 0.95]], np.float32
+        ),
+        ior=np.array([1.0, 1.0, 1.0, 1.0, 1.0, 1.5], np.float32),
+        dissolve=np.array([0, 0, 0, 0, 0, 1.0], np.float32),
+    )
+    return verts, faces, material_ids, materials

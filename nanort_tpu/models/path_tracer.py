@@ -1,0 +1,397 @@
+"""Wavefront path tracer — TPU re-design of examples/path_tracer/main.cc.
+
+The reference traces one pixel-sample at a time on a CPU thread pool
+(main.cc:785-1009); here the whole (pixels x spp) sample batch advances
+through the bounce loop together as SoA arrays with an alive mask — the
+wavefront formulation. Per bounce: one visibility traversal + one NEE
+shadow traversal, both over the full batch.
+
+Faithful semantics (citations into the reference):
+* Russian roulette after bounce 3, p_term = 0.2 (main.cc:828-837)
+* ray epsilon via min_t = 0.001, no self-prim skip (main.cc:841-843)
+* facevarying-normal interpolation + flip toward ray (main.cc:863-880)
+* Schlick fresnel with n1/n2 from hit side (main.cc:884-896, 660-663)
+* lobe probabilities rhoS/rhoD/rhoR/rhoE from luminance-averaged material
+  colors, fresnel and dissolve mix, normalized; terminate when total
+  < 1e-4 (main.cc:898-925)
+* NEE on the diffuse lobe only: uniform emissive-face pick, sqrt-warp
+  barycentric sample, cosine EDF, area->solid-angle pdf, shadow ray with
+  eps endpoints (MeshLight::sampleDirect main.cc:336-397, CheckForOccluder
+  main.cc:675-701); emission hits only counted when the previous event
+  didn't light-sample (do_emmition flag, main.cc:824, 938, 964-971)
+* cosine-hemisphere sampling via the revised ONB (main.cc:214-250)
+* refract with TIR returning a zero vector (main.cc:649-656) — the zero
+  ray then misses, matching the reference's behavior
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.options import BVHTraceOptions
+from ..core.ray import Rays, make_rays
+from ..ops.triangle import TriangleMesh
+from ..traverse.packed import PackedScene
+from ..traverse.wavefront import traverse_wavefront
+
+
+class Materials(NamedTuple):
+    """Per-material arrays (tinyobj material_t fields the shader reads)."""
+
+    diffuse: jnp.ndarray  # (M, 3)
+    emission: jnp.ndarray  # (M, 3)
+    specular: jnp.ndarray  # (M, 3)
+    transmittance: jnp.ndarray  # (M, 3)
+    ior: jnp.ndarray  # (M,)
+    dissolve: jnp.ndarray  # (M,)
+
+
+class PTScene(NamedTuple):
+    mesh: TriangleMesh
+    packed: PackedScene
+    materials: Materials
+    material_ids: jnp.ndarray  # (F,)
+    facevarying_normals: jnp.ndarray | None  # (F, 3, 3)
+    light_faces: jnp.ndarray  # (L,) emissive face ids (host precomputed)
+
+
+def collect_light_faces(material_ids, materials: Materials) -> np.ndarray:
+    """Emissive-face collection (MeshLight ctor, main.cc:323-334)."""
+    em = np.asarray(materials.emission)
+    mid = np.asarray(material_ids)
+    return np.nonzero((em[mid] > 0.0).any(axis=-1))[0].astype(np.int32)
+
+
+def _luma(c):
+    return jnp.mean(c, axis=-1)  # vdot(1/3, c) (main.cc:899-908)
+
+
+def _reflect(i, n):
+    return i - 2.0 * jnp.sum(i * n, -1, keepdims=True) * n
+
+
+def _refract(i, n, eta):
+    ndi = jnp.sum(n * i, -1, keepdims=True)
+    k = 1.0 - eta[..., None] ** 2 * (1.0 - ndi**2)
+    out = eta[..., None] * i - (eta[..., None] * ndi + jnp.sqrt(jnp.maximum(k, 0.0))) * n
+    return jnp.where(k < 0.0, jnp.zeros_like(out), out)
+
+
+def _fresnel_schlick(h, n, r):
+    r0 = r * r
+    c = 1.0 - jnp.sum(h * n, -1)
+    return r0 + (1.0 - r0) * c * c * c * c * c
+
+
+def _revised_onb(n):
+    """Revised ONB, both sign branches via select (main.cc:216-229)."""
+    z = n[..., 2]
+    a_neg = 1.0 / (1.0 - z)
+    a_pos = 1.0 / (1.0 + z)
+    x, y = n[..., 0], n[..., 1]
+    b_neg = x * y * a_neg
+    b_pos = -x * y * a_pos
+    b1 = jnp.where(
+        z[..., None] < 0.0,
+        jnp.stack([1.0 - x * x * a_neg, -b_neg, x], -1),
+        jnp.stack([1.0 - x * x * a_pos, b_pos, -x], -1),
+    )
+    b2 = jnp.where(
+        z[..., None] < 0.0,
+        jnp.stack([b_neg, y * y * a_neg - 1.0, -y], -1),
+        jnp.stack([b_pos, 1.0 - y * y * a_pos, -y], -1),
+    )
+    return b1, b2
+
+
+def _cosine_dir(key, n):
+    u1 = jax.random.uniform(key, n.shape[:-1], jnp.float32)
+    phi = jax.random.uniform(jax.random.fold_in(key, 1), n.shape[:-1], jnp.float32) * (2.0 * jnp.pi)
+    r = jnp.sqrt(u1)
+    x = r * jnp.cos(phi)
+    y = r * jnp.sin(phi)
+    z = jnp.sqrt(1.0 - u1)
+    b1, b2 = _revised_onb(n)
+    return b1 * x[..., None] + b2 * y[..., None] + n * z[..., None]
+
+
+def _sample_light(scene: PTScene, key, x):
+    """MeshLight::sampleDirect (main.cc:336-397). Returns (dir, dist, pdf,
+    radiance)."""
+    lf = scene.light_faces
+    nl = lf.shape[0]
+    xi1 = jax.random.uniform(key, x.shape[:-1], jnp.float32)
+    xi2 = jax.random.uniform(jax.random.fold_in(key, 1), x.shape[:-1], jnp.float32)
+    fidx = jnp.minimum((xi1 * nl).astype(jnp.int32), nl - 1)
+    xi1 = xi1 * nl - fidx
+    fid = jnp.take(lf, fidx)
+    pick_pdf = 1.0 / nl
+
+    f = jnp.take(scene.mesh.faces, fid, axis=0)
+    tri = jnp.take(scene.mesh.vertices, f, axis=0)
+    v0, v1, v2 = tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
+    s = jnp.sqrt(xi1)
+    c0 = (1.0 - s)[..., None]
+    c1 = (s * (1.0 - xi2))[..., None]
+    c2 = (s * xi2)[..., None]
+    lp = c0 * v0 + c1 * v1 + c2 * v2
+    cr = jnp.cross(v1 - v0, v2 - v0)
+    area = 0.5 * jnp.linalg.norm(cr, axis=-1)
+    norm = cr / jnp.maximum(jnp.linalg.norm(cr, axis=-1, keepdims=True), 1e-30)
+
+    d = lp - x
+    dist = jnp.linalg.norm(d, axis=-1)
+    ok = dist > 1e-6
+    dirn = d / jnp.maximum(dist[..., None], 1e-30)
+    cos_l = jnp.maximum(jnp.sum(-dirn * norm, -1), 0.0)
+    mid = jnp.take(scene.material_ids, fid)
+    ll = jnp.take(scene.materials.emission, mid, axis=0)
+    radiance = ll * cos_l[..., None]
+    # PdfAtoW: area pdf * dist^2 / cos (main.cc:300-310)
+    area_pdf = pick_pdf / jnp.maximum(area, 1e-30)
+    pdf = jnp.where(
+        ok & (cos_l > 1e-12), area_pdf * dist * dist / jnp.maximum(cos_l, 1e-30), 0.0
+    )
+    return dirn, dist, pdf, radiance
+
+
+def _trace(scene: PTScene, org, d, min_t, max_t, tile):
+    rays = Rays(org=org, dir=d, min_t=min_t, max_t=max_t)
+    return traverse_wavefront(scene.packed, rays, tile=tile)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_bounces", "rr_start", "tile", "has_normals")
+)
+def trace_paths(
+    scene: PTScene,
+    org0: jnp.ndarray,
+    dir0: jnp.ndarray,
+    key,
+    max_bounces: int = 10,
+    rr_start: int = 3,
+    tile: int = 8192,
+    has_normals: bool = True,
+):
+    """Trace one sample per input ray; returns linear-RGB radiance (R, 3)."""
+    R = org0.shape[0]
+    f32 = jnp.float32
+    kfar = f32(1.0e30)
+    eps_t = f32(0.001)
+    ray_eps = f32(0.00001)
+
+    state = dict(
+        org=org0.astype(f32),
+        dir=dir0.astype(f32),
+        color=jnp.zeros((R, 3), f32),
+        weight=jnp.ones((R, 3), f32),
+        alive=jnp.ones((R,), bool),
+        do_emission=jnp.ones((R,), bool),
+    )
+
+    def bounce(b, st):
+        k = jax.random.fold_in(key, b)
+        alive = st["alive"]
+
+        # Russian roulette (main.cc:828-838)
+        rr_apply = b > rr_start
+        rr_rand = jax.random.uniform(jax.random.fold_in(k, 10), (R,), jnp.float32)
+        killed = rr_apply & (rr_rand < 0.2)
+        alive = alive & ~killed
+        rr_fac = jnp.where(rr_apply, 1.0 / (1.0 - 0.2), 1.0)
+        weight = st["weight"] * rr_fac
+
+        hits = _trace(
+            scene,
+            st["org"],
+            st["dir"],
+            jnp.full((R,), eps_t, f32),
+            jnp.where(alive, kfar, f32(0.0)),  # dead rays trace nothing
+            tile,
+        )
+        hit = hits.hit & alive
+        fid = jnp.where(hit, hits.prim_id, 0).astype(jnp.int32)
+
+        p = st["org"] + st["dir"] * hits.t[..., None]
+
+        if has_normals and scene.facevarying_normals is not None:
+            nrm3 = jnp.take(scene.facevarying_normals, fid, axis=0)
+            w0 = (1.0 - hits.u - hits.v)[..., None]
+            norm = (
+                w0 * nrm3[:, 0] + hits.u[..., None] * nrm3[:, 1]
+                + hits.v[..., None] * nrm3[:, 2]
+            )
+            norm = norm / jnp.maximum(
+                jnp.linalg.norm(norm, axis=-1, keepdims=True), 1e-30
+            )
+        else:
+            f = jnp.take(scene.mesh.faces, fid, axis=0)
+            tri = jnp.take(scene.mesh.vertices, f, axis=0)
+            norm = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+            norm = norm / jnp.maximum(
+                jnp.linalg.norm(norm, axis=-1, keepdims=True), 1e-30
+            )
+
+        original_norm = norm
+        facing = jnp.sum(norm * st["dir"], -1) > 0
+        norm = jnp.where(facing[..., None], -norm, norm)
+
+        mid = jnp.take(scene.material_ids, fid)
+        mat_d = jnp.take(scene.materials.diffuse, mid, axis=0)
+        mat_e = jnp.take(scene.materials.emission, mid, axis=0)
+        mat_s = jnp.take(scene.materials.specular, mid, axis=0)
+        mat_r = jnp.take(scene.materials.transmittance, mid, axis=0)
+        ior = jnp.take(scene.materials.ior, mid)
+        dissolve = jnp.take(scene.materials.dissolve, mid)
+
+        inside = jnp.where(jnp.sum(st["dir"] * original_norm, -1) < 0, -1.0, 1.0)
+        n1 = jnp.where(inside < 0, 1.0 / ior, ior)
+        n2 = 1.0 / n1
+        fres = _fresnel_schlick(-st["dir"], norm, (n1 - n2) / (n1 + n2))
+
+        rho_s = _luma(mat_s) * fres
+        rho_d = _luma(mat_d) * (1.0 - fres) * (1.0 - dissolve)
+        rho_r = _luma(mat_r) * (1.0 - fres) * dissolve
+        rho_e = _luma(mat_e)
+        total = rho_s + rho_d + rho_r + rho_e
+        absorbed = total < 1e-4
+        tot = jnp.where(absorbed, 1.0, total)
+        rho_s, rho_d, rho_r, rho_e = (
+            rho_s / tot, rho_d / tot, rho_r / tot, rho_e / tot,
+        )
+
+        rand = jax.random.uniform(jax.random.fold_in(k, 11), (R,), jnp.float32)
+        pick_s = rand < rho_s
+        pick_d = ~pick_s & (rand < rho_s + rho_d)
+        pick_r = ~pick_s & ~pick_d & (rand < rho_s + rho_d + rho_r)
+        pick_e = ~pick_s & ~pick_d & ~pick_r
+
+        # --- NEE on the diffuse lobe (main.cc:938-957) ---
+        ldir, ldist, lpdf, lrad = _sample_light(scene, jax.random.fold_in(k, 12), p)
+        shadow_max = jnp.maximum(ldist - ray_eps, 0.0)
+        nee_active = hit & pick_d & (lpdf > 0.0) & ~absorbed
+        sh = _trace(
+            scene,
+            p,
+            ldir,
+            jnp.full((R,), ray_eps, f32),
+            jnp.where(nee_active, shadow_max, f32(0.0)),
+            tile,
+        )
+        visible = ~sh.hit
+        cos_t = jnp.abs(jnp.sum(ldir * norm, -1))
+        brdf = mat_d / jnp.pi
+        direct = brdf * lrad * (cos_t / jnp.maximum(lpdf, 1e-30))[..., None]
+        color = st["color"] + jnp.where(
+            (nee_active & visible)[..., None], direct * weight, 0.0
+        )
+
+        # --- emission (main.cc:964-971) ---
+        emit_gate = hit & pick_e & st["do_emission"] & ~absorbed
+        cos_e = jnp.maximum(jnp.sum(original_norm * -st["dir"], -1), 0.0)
+        color = color + jnp.where(
+            emit_gate[..., None], cos_e[..., None] * mat_e * weight, 0.0
+        )
+
+        # --- next direction & weight ---
+        out_s = _reflect(st["dir"], norm)
+        out_d = _cosine_dir(jax.random.fold_in(k, 13), norm)
+        out_r = _refract(st["dir"], -inside[..., None] * original_norm, n1)
+        new_dir = jnp.where(
+            pick_s[..., None], out_s,
+            jnp.where(pick_d[..., None], out_d, out_r),
+        )
+        lobe_w = jnp.where(
+            pick_s[..., None], mat_s,
+            jnp.where(pick_d[..., None], mat_d, mat_r),
+        )
+        weight = weight * jnp.where(hit[..., None], lobe_w, 1.0)
+
+        alive = hit & ~pick_e & ~absorbed
+        do_em = jnp.where(pick_d, False, True)
+
+        return dict(
+            org=jnp.where(hit[..., None], p, st["org"]),
+            dir=jnp.where(hit[..., None], new_dir, st["dir"]),
+            color=color,
+            weight=weight,
+            alive=alive,
+            do_emission=jnp.where(hit, do_em, st["do_emission"]),
+        )
+
+    st = jax.lax.fori_loop(0, max_bounces, bounce, state)
+    return st["color"]
+
+
+def render_path_traced(
+    scene: PTScene,
+    cam_rays: Rays,
+    key,
+    spp: int = 8,
+    max_bounces: int = 10,
+    tile: int = 8192,
+):
+    """Accumulate spp samples per camera ray; returns linear RGB with the
+    camera-ray batch shape + (3,). (The reference's SPP loop,
+    main.cc:806-980; gamma is applied at save time like main.cc:985-987.)"""
+    bs = cam_rays.batch_shape
+    org = cam_rays.org.reshape(-1, 3)
+    d = cam_rays.dir.reshape(-1, 3)
+    acc = jnp.zeros((org.shape[0], 3), jnp.float32)
+    for s in range(spp):
+        acc = acc + trace_paths(
+            scene, org, d, jax.random.fold_in(key, s),
+            max_bounces=max_bounces, tile=tile,
+            has_normals=scene.facevarying_normals is not None,
+        )
+    img = acc / spp
+    return img.reshape(*bs, 3)
+
+
+def make_pt_scene(
+    vertices, faces, material_ids, materials: dict, facevarying_normals=None
+) -> PTScene:
+    """Assemble a PTScene from host arrays (builds BVH + packed tables)."""
+    import numpy as np
+
+    from .. import build_triangle_bvh
+    from ..core.options import BVHBuildOptions
+    from ..traverse.packed import pack_scene
+
+    mesh = TriangleMesh(
+        vertices=jnp.asarray(vertices, jnp.float32),
+        faces=jnp.asarray(faces, jnp.int32),
+    )
+    bvh, _ = build_triangle_bvh(mesh)
+    packed = pack_scene(bvh, np.asarray(vertices), np.asarray(faces))
+    mats = Materials(
+        diffuse=jnp.asarray(materials["diffuse"], jnp.float32),
+        emission=jnp.asarray(materials["emission"], jnp.float32),
+        specular=jnp.asarray(materials["specular"], jnp.float32),
+        transmittance=jnp.asarray(materials["transmittance"], jnp.float32),
+        ior=jnp.asarray(materials["ior"], jnp.float32),
+        dissolve=jnp.asarray(materials["dissolve"], jnp.float32),
+    )
+    lf = collect_light_faces(material_ids, mats)
+    return PTScene(
+        mesh=mesh,
+        packed=PackedScene(
+            nodes=jnp.asarray(packed.nodes),
+            soup=jnp.asarray(packed.soup),
+            num_nodes=packed.num_nodes,
+            num_prims=packed.num_prims,
+        ),
+        materials=mats,
+        material_ids=jnp.asarray(material_ids, jnp.int32),
+        facevarying_normals=(
+            jnp.asarray(facevarying_normals, jnp.float32)
+            if facevarying_normals is not None
+            else None
+        ),
+        light_faces=jnp.asarray(lf),
+    )

@@ -110,7 +110,7 @@ def _brute_force_impl(
         t=t,
         u=jnp.where(hit, u, 0.0),
         v=jnp.where(hit, v, 0.0),
-        prim_id=jnp.where(hit, pid, INVALID_PRIM_ID),
+        prim_id=jnp.where(hit, pid, jnp.uint32(INVALID_PRIM_ID)),
     )
 
 

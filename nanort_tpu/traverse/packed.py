@@ -26,18 +26,31 @@ the traversal speed-of-light this layout is designed to hit.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
+import jax
 import numpy as np
 
 from ..core.bvh import BVH, compute_skip_links
 
 
-class PackedScene(NamedTuple):
+@dataclasses.dataclass
+class PackedScene:
+    """Pytree whose array tables are children and whose sizes are static
+    aux data — so jitted callers can close over ``num_nodes`` as a static
+    shape parameter even when the scene itself is a traced argument."""
+
     nodes: np.ndarray  # (N, 12) f32, int lanes bitcast
     soup: np.ndarray  # (M, 12) f32, prim_id lane bitcast
     num_nodes: int
     num_prims: int
+
+
+jax.tree_util.register_pytree_node(
+    PackedScene,
+    lambda s: ((s.nodes, s.soup), (s.num_nodes, s.num_prims)),
+    lambda aux, ch: PackedScene(ch[0], ch[1], aux[0], aux[1]),
+)
 
 
 def pack_scene(bvh: BVH, vertices, faces) -> PackedScene:

@@ -1,0 +1,408 @@
+"""Pallas BVH8 packet traversal — the speed-of-light TPU kernel.
+
+Design (see build/bvh8.py for the data layout):
+
+* The whole scene lives in VMEM: BVH8 node rows (~0.5 KB/node) plus the
+  packed leaf-triangle rows. A 1M-triangle scene is ~55 MB, well inside
+  the v5e's physical VMEM with ``vmem_limit_bytes`` raised (the 16 MB
+  figure is only the default scoped limit).
+* Rays are processed in coherent packets of (SUB, 128) (default 1024
+  rays) — one packet per grid step. Traversal state that varies per ray
+  (t/u/v/prim id) are VMEM tiles; the traversal stack is a single SMEM
+  scalar stack *per packet*, not per ray — packets share one DFS control
+  flow, with per-ray masking in the AABB/triangle tests. This removes
+  the per-ray stack scatters entirely and reduces control flow to one
+  scalar while-loop, the shape TPUs execute well.
+* One BVH8 step = one sublane-dynamic row fetch + 8 slab tests over the
+  whole packet on the VPU (measured ~200 ns/step for 1024 rays) + masked
+  child pushes. Leaves run as a ``pl.when``-guarded block testing up to
+  10 triangles against the packet with the watertight intersector —
+  skipped entirely when no ray hits the leaf's box.
+
+Semantics match the reference kernel (nanort.h:2487-2556 + 993-1229):
+robust 4-ulp slab test, watertight Moller-Trumbore with optional
+double-word exact edge fallback, tt<=t replace ordering (ties resolve by
+traversal order, which is child-slot order here rather than the
+reference's per-ray near-first order — legal per the equal-t contract).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..build.bvh8 import BVH8Scene, MAX_LEAF_TRIS
+from ..core.options import BVHTraceOptions, INVALID_PRIM_ID
+from ..core.ray import Hits, Rays
+
+LANES = 128
+DEF_SUB = 8  # sublanes per packet -> 8*128 = 1024 rays
+
+
+
+
+
+def _kernel_body(
+    nodes_ref,
+    leafs_ref,
+    ox_ref, oy_ref, oz_ref,
+    dx_ref, dy_ref, dz_ref,
+    mint_ref, maxt_ref,
+    skip_ref,
+    t_out, u_out, v_out, pid_out,
+    stack_ref,
+    *,
+    cull_back_face: bool,
+    exact_edge_fallback: bool,
+    use_skip: bool,
+    stack_size: int,
+    leaf_unroll: int,
+):
+    f32 = jnp.float32
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+    min_t = mint_ref[:]
+    max_t = maxt_ref[:]
+    skip_pid = skip_ref[:] if use_skip else None
+
+    eps = f32(np.finfo(np.float32).eps)
+    inf = f32(np.inf)
+
+    def safe_inv2(d):
+        # copysign(inf, d) semantics incl. -0.0 via the sign bit
+        tiny = jnp.abs(d) < eps
+        neg = jax.lax.bitcast_convert_type(d, jnp.int32) < 0  # sign bit incl -0.0
+        return jnp.where(tiny, jnp.where(neg, -inf, inf), 1.0 / jnp.where(tiny, 1.0, d))
+
+    ix, iy, iz = safe_inv2(dx), safe_inv2(dy), safe_inv2(dz)
+    nx, ny, nz = dx < 0, dy < 0, dz < 0
+
+    # watertight shear coefficients (nanort.h:1163-1201), vectorized
+    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    # strict-< chain, first max wins (nanort.h:1166-1176)
+    kz = jnp.where(ady > adx, 1, 0)
+    amax = jnp.where(ady > adx, ady, adx)
+    kz = jnp.where(adz > amax, 2, kz).astype(jnp.int32)
+    kx = (kz + 1) % 3
+    ky = (kx + 1) % 3
+
+    def comp(vx, vy, vz, k):
+        return jnp.where(k == 0, vx, jnp.where(k == 1, vy, vz))
+
+    dkz = comp(dx, dy, dz, kz)
+    negkz = dkz < 0
+    kx, ky = jnp.where(negkz, ky, kx), jnp.where(negkz, kx, ky)
+    sx = comp(dx, dy, dz, kx) / dkz
+    sy = comp(dx, dy, dz, ky) / dkz
+    sz = 1.0 / dkz
+
+    # accumulators in output refs
+    t_out[:] = max_t
+    u_out[:] = jnp.zeros_like(max_t)
+    v_out[:] = jnp.zeros_like(max_t)
+    pid_out[:] = jnp.full(max_t.shape, -1, jnp.int32)
+
+    stack_ref[0] = 0
+
+    if exact_edge_fallback:
+        C = f32(4097.0)
+
+        def two_prod(a, b):
+            p = a * b
+            a1 = a * C
+            ah = a1 - (a1 - a)
+            al = a - ah
+            b1 = b * C
+            bh = b1 - (b1 - b)
+            bl = b - bh
+            err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+            return p, err
+
+        def prod_diff(a, b, c, d):
+            p1, e1 = two_prod(a, b)
+            p2, e2 = two_prod(c, d)
+            return (p1 - p2) + (e1 - e2)
+
+    def leaf_test(lrow, cnt):
+        t_b = t_out[:]
+        u_b = u_out[:]
+        v_b = v_out[:]
+        p_b = pid_out[:]
+        for ti in range(leaf_unroll):
+            p0x, p0y, p0z = lrow[0, 9 * ti], lrow[0, 9 * ti + 1], lrow[0, 9 * ti + 2]
+            p1x, p1y, p1z = lrow[0, 9 * ti + 3], lrow[0, 9 * ti + 4], lrow[0, 9 * ti + 5]
+            p2x, p2y, p2z = lrow[0, 9 * ti + 6], lrow[0, 9 * ti + 7], lrow[0, 9 * ti + 8]
+            pid_t = lrow[0, 90 + ti].astype(jnp.int32)
+
+            ax_, ay_, az_ = p0x - ox, p0y - oy, p0z - oz
+            bx_, by_, bz_ = p1x - ox, p1y - oy, p1z - oz
+            cx_, cy_, cz_ = p2x - ox, p2y - oy, p2z - oz
+            Az = comp(ax_, ay_, az_, kz)
+            Bz = comp(bx_, by_, bz_, kz)
+            Cz = comp(cx_, cy_, cz_, kz)
+            Ax = comp(ax_, ay_, az_, kx) - sx * Az
+            Ay = comp(ax_, ay_, az_, ky) - sy * Az
+            Bx = comp(bx_, by_, bz_, kx) - sx * Bz
+            By = comp(bx_, by_, bz_, ky) - sy * Bz
+            Cx = comp(cx_, cy_, cz_, kx) - sx * Cz
+            Cy = comp(cx_, cy_, cz_, ky) - sy * Cz
+
+            U = Cx * By - Cy * Bx
+            V = Ax * Cy - Ay * Cx
+            W = Bx * Ay - By * Ax
+            if exact_edge_fallback:
+                zmask = (U == 0.0) | (V == 0.0) | (W == 0.0)
+                U = jnp.where(zmask, prod_diff(Cx, By, Cy, Bx), U)
+                V = jnp.where(zmask, prod_diff(Ax, Cy, Ay, Cx), V)
+                W = jnp.where(zmask, prod_diff(Bx, Ay, By, Ax), W)
+            any_neg = (U < 0.0) | (V < 0.0) | (W < 0.0)
+            any_pos = (U > 0.0) | (V > 0.0) | (W > 0.0)
+            if cull_back_face:
+                edge_ok = ~any_neg
+            else:
+                edge_ok = ~(any_neg & any_pos)
+            det = U + V + W
+            det_ok = det != 0.0
+            rcp = 1.0 / jnp.where(det_ok, det, 1.0)
+            tt = (U * (sz * Az) + V * (sz * Bz) + W * (sz * Cz)) * rcp
+            valid = edge_ok & det_ok & (tt <= t_b) & (tt >= min_t)
+            valid = valid & (ti < cnt)
+            if use_skip:
+                valid = valid & (pid_t != skip_pid)
+            t_b = jnp.where(valid, tt, t_b)
+            u_b = jnp.where(valid, V * rcp, u_b)
+            v_b = jnp.where(valid, W * rcp, v_b)
+            p_b = jnp.where(valid, pid_t, p_b)
+        t_out[:] = t_b
+        u_out[:] = u_b
+        v_out[:] = v_b
+        pid_out[:] = p_b
+
+    MM = f32(1.00000024)
+
+    def step(sp):
+        sp = sp - 1
+        idx = stack_ref[sp]
+        row = nodes_ref[pl.ds(idx, 1), :]  # (1, 128)
+        t_b = t_out[:]
+
+        # All 8 child slab tests, bit-packed into one per-ray int32 mask.
+        # A vector->SREG move costs ~100 ns; doing one jnp.any per child
+        # dominated the whole kernel, so the OR over rays happens in the
+        # VPU (log-tree of rolls) and ONE scalar extraction yields all 8
+        # any-hit bits.
+        m = None
+        for c in range(8):
+            b0x, b0y, b0z = row[0, 8 * c], row[0, 8 * c + 1], row[0, 8 * c + 2]
+            b1x, b1y, b1z = row[0, 8 * c + 3], row[0, 8 * c + 4], row[0, 8 * c + 5]
+            lox = jnp.where(nx, b1x, b0x)
+            hix = jnp.where(nx, b0x, b1x)
+            loy = jnp.where(ny, b1y, b0y)
+            hiy = jnp.where(ny, b0y, b1y)
+            loz = jnp.where(nz, b1z, b0z)
+            hiz = jnp.where(nz, b0z, b1z)
+            t0x = (lox - ox) * ix
+            t0y = (loy - oy) * iy
+            t0z = (loz - oz) * iz
+            t1x = (hix - ox) * ix * MM
+            t1y = (hiy - oy) * iy * MM
+            t1z = (hiz - oz) * iz * MM
+            tmin = min_t
+            tmin = jnp.where(t0x > tmin, t0x, tmin)
+            tmin = jnp.where(t0y > tmin, t0y, tmin)
+            tmin = jnp.where(t0z > tmin, t0z, tmin)
+            tmax = t_b
+            tmax = jnp.where(t1x < tmax, t1x, tmax)
+            tmax = jnp.where(t1y < tmax, t1y, tmax)
+            tmax = jnp.where(t1z < tmax, t1z, tmax)
+            hit_c = (tmin <= tmax).astype(jnp.int32) << c
+            m = hit_c if m is None else m | hit_c
+        # OR-reduce across the tile: lane rolls then sublane rolls
+        for sh in (64, 32, 16, 8, 4, 2, 1):
+            m = m | pltpu.roll(m, sh, axis=1)
+        sub_n = m.shape[0]
+        sh = 1
+        while sh < sub_n:
+            m = m | pltpu.roll(m, sh, axis=0)
+            sh *= 2
+        mask = m[0, 0]  # the single vector->scalar move per step
+
+        for c in range(8):
+            any_hit = ((mask >> c) & 1) == 1
+            meta = row[0, 64 + c].astype(jnp.int32)
+            cnt = row[0, 72 + c].astype(jnp.int32)
+            push = any_hit & (meta >= 0)
+            do_leaf = any_hit & (meta < 0)
+
+            @pl.when(push)
+            def _():
+                stack_ref[sp] = meta
+
+            # sp advance is functional; the guarded write above lands at
+            # the pre-bump top
+            sp = sp + push.astype(jnp.int32)
+
+            @pl.when(do_leaf)
+            def _():
+                lrow = leafs_ref[pl.ds(-meta - 1, 1), :]
+                leaf_test(lrow, cnt)
+        return sp
+
+    jax.lax.while_loop(lambda sp: sp > 0, step, jnp.int32(1))
+
+
+@functools.lru_cache(maxsize=32)
+def _make_kernel(
+    n_packets: int,
+    sub: int,
+    cull_back_face: bool,
+    exact_edge_fallback: bool,
+    use_skip: bool,
+    stack_size: int,
+    vmem_mb: int,
+    leaf_unroll: int,
+):
+    body = functools.partial(
+        _kernel_body,
+        cull_back_face=cull_back_face,
+        exact_edge_fallback=exact_edge_fallback,
+        use_skip=use_skip,
+        stack_size=stack_size,
+        leaf_unroll=leaf_unroll,
+    )
+    ray_spec = pl.BlockSpec((None, sub, LANES), lambda i: (i, 0, 0))
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    grid_call = pl.pallas_call(
+        body,
+        grid=(n_packets,),
+        in_specs=[full, full] + [ray_spec] * 9,
+        out_specs=(ray_spec, ray_spec, ray_spec, ray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_packets, sub, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_packets, sub, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_packets, sub, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_packets, sub, LANES), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.SMEM((stack_size,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024,
+        ),
+    )
+    return jax.jit(grid_call)
+
+
+def traverse_bvh8(
+    scene: BVH8Scene,
+    rays: Rays,
+    options: BVHTraceOptions = BVHTraceOptions(),
+    skip_prim_id=None,
+    sub: int = DEF_SUB,
+    vmem_mb: int = 110,
+) -> Hits:
+    """Trace rays against a VMEM-resident BVH8 scene (fp32).
+
+    Rays should arrive in a spatially coherent order — consecutive groups
+    of ``sub*128`` rays form one packet sharing traversal control flow.
+    """
+    if options.prim_ids_range != (0, 0x7FFFFFFF):
+        raise NotImplementedError(
+            "prim_ids_range filter not supported in the packet kernel; "
+            "use traverse_wavefront"
+        )
+    bs = rays.batch_shape
+    flat = jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[len(bs):]), rays
+    )
+    R = flat.org.shape[0]
+    packet = sub * LANES
+    n_packets = -(-R // packet)
+    pad = n_packets * packet - R
+
+    def prep(x, fill):
+        x = jnp.pad(x, (0, pad), constant_values=fill)
+        return x.reshape(n_packets, sub, LANES)
+
+    ox = prep(flat.org[:, 0], 0.0)
+    oy = prep(flat.org[:, 1], 0.0)
+    oz = prep(flat.org[:, 2], 0.0)
+    dx = prep(flat.dir[:, 0], 1.0)
+    dy = prep(flat.dir[:, 1], 1.0)
+    dz = prep(flat.dir[:, 2], 1.0)
+    mint = prep(flat.min_t, 1.0)
+    maxt = prep(flat.max_t, 0.0)  # padding terminated: max_t < min_t
+
+    use_skip = skip_prim_id is not None
+    static_skip = isinstance(options.skip_prim_id, int) and (
+        options.skip_prim_id != INVALID_PRIM_ID
+    )
+    if use_skip:
+        skip = prep(
+            jnp.asarray(skip_prim_id).reshape(-1).astype(jnp.int32),
+            -1,
+        )
+    elif static_skip:
+        use_skip = True
+        skip = jnp.full((n_packets, sub, LANES), np.int32(options.skip_prim_id))
+    else:
+        skip = jnp.zeros((n_packets, sub, LANES), jnp.int32)
+
+    kern = _make_kernel(
+        n_packets,
+        sub,
+        options.cull_back_face,
+        options.exact_edge_fallback,
+        use_skip,
+        max(64, 16 * scene.depth),
+        vmem_mb,
+        scene.max_leaf,
+    )
+    t, u, v, pid = kern(
+        jnp.asarray(scene.nodes),
+        jnp.asarray(scene.leafs),
+        ox, oy, oz, dx, dy, dz, mint, maxt, skip,
+    )
+
+    unshape = lambda x: x.reshape(-1)[:R].reshape(bs)
+    t = unshape(t)
+    u = unshape(u)
+    v = unshape(v)
+    pid = unshape(pid).astype(jnp.uint32)
+    maxt_o = rays.max_t
+    hit = t < maxt_o
+    zero = jnp.zeros((), jnp.float32)
+    return Hits(
+        t=t,
+        u=jnp.where(hit, u, zero),
+        v=jnp.where(hit, v, zero),
+        prim_id=jnp.where(hit, pid, jnp.uint32(INVALID_PRIM_ID)),
+    )
+
+
+def tile_image_rays(rays: Rays, tile_h: int = 32, tile_w: int = 32):
+    """Reorder (H, W)-shaped image rays into square pixel tiles so each
+    packet covers a compact frustum (a raw row-major order would hand each
+    packet a 1024-pixel-wide strip, whose union footprint touches far more
+    BVH leaves). Returns (flat_rays, untile) where ``untile`` restores
+    image shape for any (H*W,)-leading result pytree."""
+    H, W = rays.org.shape[:2]
+    assert H % tile_h == 0 and W % tile_w == 0, (H, W, tile_h, tile_w)
+
+    def fwd(x):
+        x = x.reshape(H // tile_h, tile_h, W // tile_w, tile_w, *x.shape[2:])
+        x = jnp.swapaxes(x, 1, 2)
+        return x.reshape(H * W, *x.shape[4:])
+
+    def untile(tree):
+        def inv(x):
+            x = x.reshape(H // tile_h, W // tile_w, tile_h, tile_w, *x.shape[1:])
+            x = jnp.swapaxes(x, 1, 2)
+            return x.reshape(H, W, *x.shape[4:])
+
+        return jax.tree_util.tree_map(inv, tree)
+
+    return jax.tree_util.tree_map(fwd, rays), untile

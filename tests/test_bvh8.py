@@ -1,0 +1,106 @@
+"""BVH8 collapse structural tests (CPU). The Pallas packet kernel itself
+is exercised on real TPU via tools/verify_pallas.py; here we validate the
+collapse + packing logic host-side by emulating the kernel's traversal in
+NumPy."""
+
+import numpy as np
+import pytest
+
+from nanort_tpu import BVHBuildOptions, build_triangle_bvh
+from nanort_tpu.build.bvh8 import MAX_LEAF_TRIS, collapse_bvh8
+from nanort_tpu.io.procedural import make_random_triangles, make_uv_sphere
+from nanort_tpu.ops.triangle import TriangleMesh
+
+
+def _build8(v, f, leaf=8):
+    mesh = TriangleMesh(vertices=v, faces=f)
+    opts = BVHBuildOptions(min_leaf_primitives=leaf, max_leaf_primitives=leaf)
+    bvh, _ = build_triangle_bvh(mesh, opts)
+    return bvh, collapse_bvh8(bvh, v, f)
+
+
+def test_collapse_covers_all_prims():
+    v, f = make_uv_sphere(12, 24)
+    bvh, s8 = _build8(v, f)
+    # every original prim id appears exactly once in the leaf table
+    pids = []
+    nodes = s8.nodes
+    for r in range(s8.num_leaf_rows):
+        ids = s8.leafs[r, 90:100].astype(np.int32)
+        # count comes from node meta; recover from node table
+    # walk the BVH8 tree instead
+    seen = []
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        row = nodes[i]
+        metas = row[64:72].astype(np.int32)
+        cnts = row[72:80].astype(np.int32)
+        for c in range(8):
+            lo = row[8 * c : 8 * c + 3]
+            hi = row[8 * c + 3 : 8 * c + 6]
+            if lo[0] > hi[0]:
+                continue  # empty slot
+            m = metas[c]
+            if m >= 0:
+                stack.append(m)
+            else:
+                lr = -m - 1
+                k = cnts[c]
+                assert 1 <= k <= MAX_LEAF_TRIS
+                seen.extend(s8.leafs[lr, 90 : 90 + k].astype(np.int32).tolist())
+    assert sorted(seen) == list(range(len(f)))
+
+
+def test_collapse_bounds_contain_children():
+    v, f = make_random_triangles(600, seed=2)
+    bvh, s8 = _build8(v, f)
+    nodes = s8.nodes
+    stack = [(0, None)]
+    while stack:
+        i, pbox = stack.pop()
+        row = nodes[i]
+        metas = row[64:72].astype(np.int32)
+        for c in range(8):
+            lo = row[8 * c : 8 * c + 3].copy()
+            hi = row[8 * c + 3 : 8 * c + 6].copy()
+            if lo[0] > hi[0]:
+                continue
+            if pbox is not None:
+                plo, phi = pbox
+                eps = 1e-5 * (1 + np.abs(phi).max())
+                assert (lo >= plo - eps).all() and (hi <= phi + eps).all()
+            if metas[c] >= 0:
+                stack.append((metas[c], (lo, hi)))
+
+
+def test_leaf_triangles_match_mesh():
+    v, f = make_uv_sphere(8, 16)
+    bvh, s8 = _build8(v, f, leaf=4)
+    nodes = s8.nodes
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        row = nodes[i]
+        metas = row[64:72].astype(np.int32)
+        cnts = row[72:80].astype(np.int32)
+        for c in range(8):
+            if row[8 * c] > row[8 * c + 3]:
+                continue
+            if metas[c] >= 0:
+                stack.append(metas[c])
+                continue
+            lr = -metas[c] - 1
+            for t in range(cnts[c]):
+                pid = int(s8.leafs[lr, 90 + t].astype(np.int32))
+                tri = s8.leafs[lr, 9 * t : 9 * t + 9].reshape(3, 3)
+                np.testing.assert_array_equal(tri, v[f[pid]])
+
+
+def test_oversized_leaf_rejected():
+    v, f = make_uv_sphere(8, 16)
+    mesh = TriangleMesh(vertices=v, faces=f)
+    opts = BVHBuildOptions(min_leaf_primitives=32, max_leaf_primitives=32)
+    bvh, _ = build_triangle_bvh(mesh, opts)
+    with pytest.raises(ValueError):
+        collapse_bvh8(bvh, v, f)
