@@ -1,0 +1,158 @@
+"""Embree-style front-end API (reference examples/embree-api/).
+
+The reference ships an Embree-2 C API shim backed by NanoSG
+(nanort-embree.cc:454-693). This is the same surface re-expressed as a
+Python API over the TPU scene graph, preserving the object model and
+call sequence an Embree user expects:
+
+  device = new_device()                       # rtcNewDevice
+  scene = device.new_scene()                  # rtcDeviceNewScene
+  gid = scene.new_triangle_mesh(n_tris, n_v)  # rtcNewTriangleMesh
+  scene.map_buffer(gid, VERTEX)[:] = ...      # rtcMapBuffer/rtcUnmapBuffer
+  scene.commit()                              # rtcCommit
+  hits = scene.intersect(rays)                # rtcIntersect (batched!)
+  occluded = scene.occluded(rays)             # rtcOccluded
+  lo, hi = scene.bounds()                     # rtcGetBounds
+
+Differences from the C shim, by design:
+* intersect/occluded take Rays *batches* (the whole point of the TPU port;
+  the reference shim is explicitly single-ray and not thread-safe).
+* geometry ids come from a free-list allocator like the reference's
+  HandleAllocator (nanort-embree.cc:210-254).
+* errors raise instead of accumulating an error string on the device
+  (the reference stores them on the Context, nanort-embree.cc:430).
+"""
+
+from __future__ import annotations
+
+import enum
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.options import BVHBuildOptions, BVHTraceOptions, INVALID_PRIM_ID
+from ..core.ray import Rays
+from ..ops.triangle import TriangleMesh
+from ..scene import matrix as mat
+from ..scene.graph import Node, Scene as _SG
+
+
+class BufferType(enum.Enum):
+    """Subset of RTCBufferType the reference shim supports
+    (rtcMapBuffer, nanort-embree.cc:598-634)."""
+
+    VERTEX = 0
+    INDEX = 1
+
+
+class _Geometry:
+    def __init__(self, num_triangles: int, num_vertices: int):
+        # Embree uses 16-byte vertex strides (nanort-embree.cc:149-154);
+        # here buffers are plain (n, 3) arrays
+        self.vertices = np.zeros((num_vertices, 3), np.float32)
+        self.indices = np.zeros((num_triangles, 3), np.int32)
+        self.xform = mat.identity()
+        self.enabled = True
+
+
+class RTCScene:
+    def __init__(self, device: "RTCDevice"):
+        self._device = device
+        self._geoms: dict[int, _Geometry] = {}
+        self._free_ids: list[int] = []
+        self._next_id = 0
+        self._sg: _SG | None = None
+        self._committed = False
+
+    # -- geometry management (rtcNewTriangleMesh, rtcDeleteGeometry) --
+    def new_triangle_mesh(self, num_triangles: int, num_vertices: int) -> int:
+        gid = self._free_ids.pop() if self._free_ids else self._next_id
+        if gid == self._next_id:
+            self._next_id += 1
+        self._geoms[gid] = _Geometry(num_triangles, num_vertices)
+        self._committed = False
+        return gid
+
+    def delete_geometry(self, geom_id: int):
+        del self._geoms[geom_id]
+        self._free_ids.append(geom_id)
+        self._committed = False
+
+    def map_buffer(self, geom_id: int, kind: BufferType) -> np.ndarray:
+        """Returns the writable host buffer (map/unmap collapse into one
+        call; the reference's rtcUnmapBuffer is a no-op too)."""
+        g = self._geoms[geom_id]
+        self._committed = False
+        return g.vertices if kind == BufferType.VERTEX else g.indices
+
+    def set_transform(self, geom_id: int, xform):
+        """rtcSetTransform2 (a stub in the reference shim; functional
+        here via the scene graph)."""
+        self._geoms[geom_id].xform = np.asarray(xform, np.float64)
+        self._committed = False
+
+    # -- commit & query --
+    def commit(self, options: BVHBuildOptions = BVHBuildOptions()):
+        """rtcCommit -> Scene::Commit (nanort-embree.cc:688-693)."""
+        if not self._geoms:
+            raise ValueError("rtcCommit on empty scene")
+        sg = _SG()
+        self._node_of = {}
+        for gid in sorted(self._geoms):
+            g = self._geoms[gid]
+            mesh = TriangleMesh(
+                vertices=jnp.asarray(g.vertices), faces=jnp.asarray(g.indices)
+            )
+            sg.add_node(Node(f"geom{gid}", mesh, g.xform))
+            self._node_of[len(self._node_of)] = gid
+        sg.commit(options)
+        self._sg = sg
+        self._committed = True
+
+    def bounds(self):
+        """rtcGetBounds (nanort-embree.cc:471-498)."""
+        self._check()
+        return self._sg.bounding_box()
+
+    def intersect(self, rays: Rays, cull_back_face: bool = False):
+        """rtcIntersect over a ray batch. Returns a SceneHits whose
+        node_id maps back to geometry ids via geom_ids()."""
+        self._check()
+        opt = BVHTraceOptions(cull_back_face=cull_back_face)
+        hits = self._sg.traverse(rays, opt)
+        # remap instance index -> geometry id
+        lut = np.full(max(self._node_of) + 2, INVALID_PRIM_ID, np.uint32)
+        for inst, gid in self._node_of.items():
+            lut[inst] = gid
+        geom = jnp.take(
+            jnp.asarray(lut),
+            jnp.minimum(hits.node_id, len(lut) - 1).astype(jnp.int32),
+        )
+        geom = jnp.where(hits.hit, geom, jnp.uint32(INVALID_PRIM_ID))
+        return hits._replace(node_id=geom)
+
+    def occluded(self, rays: Rays) -> jnp.ndarray:
+        """rtcOccluded: boolean any-hit per ray."""
+        self._check()
+        return self._sg.traverse(rays).hit
+
+    def _check(self):
+        if not self._committed:
+            raise RuntimeError("scene not committed (call commit())")
+
+
+class RTCDevice:
+    """rtcNewDevice; owns scenes (nanort-embree.cc:146-207)."""
+
+    def __init__(self, config: str | None = None):
+        self.config = config
+        self._scenes: list[RTCScene] = []
+
+    def new_scene(self) -> RTCScene:
+        s = RTCScene(self)
+        self._scenes.append(s)
+        return s
+
+
+def new_device(config: str | None = None) -> RTCDevice:
+    return RTCDevice(config)

@@ -82,3 +82,41 @@ def pack_scene(bvh: BVH, vertices, faces) -> PackedScene:
     soup[:, 0:9] = tri.reshape(m, 9)
     soup[:, 9] = idx.astype(np.int32).view(np.float32)
     return PackedScene(nodes=nodes, soup=soup, num_nodes=n, num_prims=m)
+
+
+def pack_scene_multi(items) -> tuple:
+    """Concatenate several (bvh, vertices, faces) packed tables into one
+    PackedScene for per-ray-rooted traversal (the two-level scene graph's
+    bottom level; see scene.graph).
+
+    Returns (scene, roots) where roots[k] is the node-row index of mesh
+    k's BVH root. Each sub-tree's terminal skip is remapped to the global
+    sentinel (total node count) so a ray rooted in tree k terminates when
+    it escapes tree k instead of walking into tree k+1.
+    """
+    packs = [pack_scene(b, v, f) for (b, v, f) in items]
+    n_total = sum(p.num_nodes for p in packs)
+    roots = []
+    node_parts, soup_parts = [], []
+    node_off = 0
+    soup_off = 0
+    for p in packs:
+        nodes = p.nodes.copy()
+        offs = nodes[:, 7].view(np.int32)
+        skips = nodes[:, 8].view(np.int32)
+        offs += soup_off
+        skips[:] = np.where(
+            skips == p.num_nodes, n_total, skips + node_off
+        ).astype(np.int32)
+        roots.append(node_off)
+        node_parts.append(nodes)
+        soup_parts.append(p.soup)
+        node_off += p.num_nodes
+        soup_off += p.num_prims
+    scene = PackedScene(
+        nodes=np.concatenate(node_parts),
+        soup=np.concatenate(soup_parts),
+        num_nodes=n_total,
+        num_prims=soup_off,
+    )
+    return scene, np.asarray(roots, np.int32)

@@ -62,6 +62,7 @@ def _kernel_body(
     use_skip: bool,
     stack_size: int,
     leaf_unroll: int,
+    multi_pop: int,
 ):
     f32 = jnp.float32
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -186,43 +187,51 @@ def _kernel_body(
     MM = f32(1.00000024)
 
     def step(sp):
-        sp = sp - 1
-        idx = stack_ref[sp]
-        row = nodes_ref[pl.ds(idx, 1), :]  # (1, 128)
+        # Multi-pop: process up to `multi_pop` nodes per iteration. The
+        # serial chain (row fetch -> slab -> vector->scalar sync -> stack
+        # update -> next fetch) is latency-bound; batching MP nodes per
+        # iteration amortizes the one unavoidable vector->SREG move (the
+        # OR-reduced hit bitmask) and overlaps the independent row
+        # fetches/slab tests.
+        take = jnp.minimum(sp, multi_pop)
+        rows = []
+        for j in range(multi_pop):
+            idx = stack_ref[jnp.maximum(sp - 1 - j, 0)]
+            rows.append(nodes_ref[pl.ds(idx, 1), :])  # (1, 128)
+        sp = sp - take
         t_b = t_out[:]
 
-        # All 8 child slab tests, bit-packed into one per-ray int32 mask.
-        # A vector->SREG move costs ~100 ns; doing one jnp.any per child
-        # dominated the whole kernel, so the OR over rays happens in the
-        # VPU (log-tree of rolls) and ONE scalar extraction yields all 8
-        # any-hit bits.
+        # All child slab tests, bit-packed into one per-ray int32 mask
+        # (multi_pop * 8 <= 32 bits), OR-reduced across the tile in the
+        # VPU (log-tree of rolls), then ONE scalar extraction.
         m = None
-        for c in range(8):
-            b0x, b0y, b0z = row[0, 8 * c], row[0, 8 * c + 1], row[0, 8 * c + 2]
-            b1x, b1y, b1z = row[0, 8 * c + 3], row[0, 8 * c + 4], row[0, 8 * c + 5]
-            lox = jnp.where(nx, b1x, b0x)
-            hix = jnp.where(nx, b0x, b1x)
-            loy = jnp.where(ny, b1y, b0y)
-            hiy = jnp.where(ny, b0y, b1y)
-            loz = jnp.where(nz, b1z, b0z)
-            hiz = jnp.where(nz, b0z, b1z)
-            t0x = (lox - ox) * ix
-            t0y = (loy - oy) * iy
-            t0z = (loz - oz) * iz
-            t1x = (hix - ox) * ix * MM
-            t1y = (hiy - oy) * iy * MM
-            t1z = (hiz - oz) * iz * MM
-            tmin = min_t
-            tmin = jnp.where(t0x > tmin, t0x, tmin)
-            tmin = jnp.where(t0y > tmin, t0y, tmin)
-            tmin = jnp.where(t0z > tmin, t0z, tmin)
-            tmax = t_b
-            tmax = jnp.where(t1x < tmax, t1x, tmax)
-            tmax = jnp.where(t1y < tmax, t1y, tmax)
-            tmax = jnp.where(t1z < tmax, t1z, tmax)
-            hit_c = (tmin <= tmax).astype(jnp.int32) << c
-            m = hit_c if m is None else m | hit_c
-        # OR-reduce across the tile: lane rolls then sublane rolls
+        for j in range(multi_pop):
+            row = rows[j]
+            for c in range(8):
+                b0x, b0y, b0z = row[0, 8 * c], row[0, 8 * c + 1], row[0, 8 * c + 2]
+                b1x, b1y, b1z = row[0, 8 * c + 3], row[0, 8 * c + 4], row[0, 8 * c + 5]
+                lox = jnp.where(nx, b1x, b0x)
+                hix = jnp.where(nx, b0x, b1x)
+                loy = jnp.where(ny, b1y, b0y)
+                hiy = jnp.where(ny, b0y, b1y)
+                loz = jnp.where(nz, b1z, b0z)
+                hiz = jnp.where(nz, b0z, b1z)
+                t0x = (lox - ox) * ix
+                t0y = (loy - oy) * iy
+                t0z = (loz - oz) * iz
+                t1x = (hix - ox) * ix * MM
+                t1y = (hiy - oy) * iy * MM
+                t1z = (hiz - oz) * iz * MM
+                tmin = min_t
+                tmin = jnp.where(t0x > tmin, t0x, tmin)
+                tmin = jnp.where(t0y > tmin, t0y, tmin)
+                tmin = jnp.where(t0z > tmin, t0z, tmin)
+                tmax = t_b
+                tmax = jnp.where(t1x < tmax, t1x, tmax)
+                tmax = jnp.where(t1y < tmax, t1y, tmax)
+                tmax = jnp.where(t1z < tmax, t1z, tmax)
+                hit_c = (tmin <= tmax).astype(jnp.int32) << (8 * j + c)
+                m = hit_c if m is None else m | hit_c
         for sh in (64, 32, 16, 8, 4, 2, 1):
             m = m | pltpu.roll(m, sh, axis=1)
         sub_n = m.shape[0]
@@ -232,25 +241,28 @@ def _kernel_body(
             sh *= 2
         mask = m[0, 0]  # the single vector->scalar move per step
 
-        for c in range(8):
-            any_hit = ((mask >> c) & 1) == 1
-            meta = row[0, 64 + c].astype(jnp.int32)
-            cnt = row[0, 72 + c].astype(jnp.int32)
-            push = any_hit & (meta >= 0)
-            do_leaf = any_hit & (meta < 0)
+        for j in range(multi_pop):
+            row = rows[j]
+            j_valid = j < take
+            for c in range(8):
+                any_hit = j_valid & (((mask >> (8 * j + c)) & 1) == 1)
+                meta = row[0, 64 + c].astype(jnp.int32)
+                cnt = row[0, 72 + c].astype(jnp.int32)
+                push = any_hit & (meta >= 0)
+                do_leaf = any_hit & (meta < 0)
 
-            @pl.when(push)
-            def _():
-                stack_ref[sp] = meta
+                @pl.when(push)
+                def _():
+                    stack_ref[sp] = meta
 
-            # sp advance is functional; the guarded write above lands at
-            # the pre-bump top
-            sp = sp + push.astype(jnp.int32)
+                # sp advance is functional; the guarded write above lands
+                # at the pre-bump top
+                sp = sp + push.astype(jnp.int32)
 
-            @pl.when(do_leaf)
-            def _():
-                lrow = leafs_ref[pl.ds(-meta - 1, 1), :]
-                leaf_test(lrow, cnt)
+                @pl.when(do_leaf)
+                def _():
+                    lrow = leafs_ref[pl.ds(-meta - 1, 1), :]
+                    leaf_test(lrow, cnt)
         return sp
 
     jax.lax.while_loop(lambda sp: sp > 0, step, jnp.int32(1))
@@ -266,6 +278,7 @@ def _make_kernel(
     stack_size: int,
     vmem_mb: int,
     leaf_unroll: int,
+    multi_pop: int,
 ):
     body = functools.partial(
         _kernel_body,
@@ -274,6 +287,7 @@ def _make_kernel(
         use_skip=use_skip,
         stack_size=stack_size,
         leaf_unroll=leaf_unroll,
+        multi_pop=multi_pop,
     )
     ray_spec = pl.BlockSpec((None, sub, LANES), lambda i: (i, 0, 0))
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -303,6 +317,7 @@ def traverse_bvh8(
     skip_prim_id=None,
     sub: int = DEF_SUB,
     vmem_mb: int = 110,
+    multi_pop: int = 4,
 ) -> Hits:
     """Trace rays against a VMEM-resident BVH8 scene (fp32).
 
@@ -357,9 +372,10 @@ def traverse_bvh8(
         options.cull_back_face,
         options.exact_edge_fallback,
         use_skip,
-        max(64, 16 * scene.depth),
+        max(64, 16 * scene.depth) + 8 * multi_pop,
         vmem_mb,
         scene.max_leaf,
+        multi_pop,
     )
     t, u, v, pid = kern(
         jnp.asarray(scene.nodes),

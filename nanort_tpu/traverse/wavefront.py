@@ -77,10 +77,12 @@ def _slab_soa(row, ox, oy, oz, ix, iy, iz, nx, ny, nz, min_t, t_best):
 
 
 def _traverse_tile(
-    nodes, soup, n_nodes, rays_t, coeffs, skip, options, max_leaf
+    nodes, soup, n_nodes, rays_t, coeffs, skip, options, max_leaf, root=None
 ):
     """One tile: rays_t fields are (T, ...) SoA. ``skip`` is an optional
-    per-ray (T,) uint32 skip-prim array overriding options.skip_prim_id."""
+    per-ray (T,) uint32 skip-prim array overriding options.skip_prim_id.
+    ``root`` is an optional per-ray int32 start-node array (the two-level
+    scene graph roots each ray at its instance's sub-tree)."""
     org, dir, min_t, max_t = rays_t
     dt = org.dtype
     T = org.shape[0]
@@ -97,7 +99,8 @@ def _traverse_tile(
     lpos = jnp.arange(max_leaf, dtype=jnp.int32)
 
     # start done when max_t < min_t (used for padding lanes)
-    cur0 = jnp.where(max_t < min_t, n, 0)
+    start = jnp.zeros_like(min_t, jnp.int32) if root is None else root
+    cur0 = jnp.where(max_t < min_t, n, start)
     t0 = max_t
     zero = jnp.zeros_like(max_t)
     u0 = zero
@@ -199,7 +202,7 @@ def _traverse_tile(
 )
 def _traverse_wavefront_jit(
     nodes, soup, n_nodes, rays, skip_prim_id, options, max_leaf, tile,
-    skip_is_array,
+    skip_is_array, root=None,
 ):
     bs = rays.batch_shape
     flat = jax.tree_util.tree_map(
@@ -223,18 +226,17 @@ def _traverse_wavefront_jit(
         if skip_is_array
         else None
     )
+    root_f = (
+        pad_to(root.reshape(-1).astype(jnp.int32)) if root is not None else None
+    )
 
     coeffs = tri.ray_coeffs(dirs)
 
     def tile_fn(args):
-        if skip_is_array:
-            o, d, mn, mx, cf, sk = args
-            opts = options
-            # per-ray skip: thread through trace filters dynamically
-            opts_skip = sk
-        else:
-            o, d, mn, mx, cf = args
-            opts_skip = None
+        o, d, mn, mx, cf = args[:5]
+        rest = list(args[5:])
+        opts_skip = rest.pop(0) if skip_is_array else None
+        rt = rest.pop(0) if root is not None else None
         hits = _traverse_tile(
             nodes,
             soup,
@@ -244,6 +246,7 @@ def _traverse_wavefront_jit(
             opts_skip,
             options,
             max_leaf,
+            root=rt,
         )
         return hits
 
@@ -252,6 +255,8 @@ def _traverse_wavefront_jit(
             jax.tree_util.tree_map(reshape, coeffs)]
     if skip_is_array:
         args.append(reshape(skip))
+    if root is not None:
+        args.append(reshape(root_f))
     hits = jax.lax.map(tile_fn, tuple(args))
     unpad = lambda x: x.reshape((n_tiles * tile,) + x.shape[2:])[:R]
     hits = jax.tree_util.tree_map(unpad, hits)
@@ -265,8 +270,10 @@ def traverse_wavefront(
     skip_prim_id=None,
     max_leaf: int = 4,
     tile: int = 16384,
+    root=None,
 ) -> Hits:
-    """Trace a ray batch against a packed scene (fp32)."""
+    """Trace a ray batch against a packed scene (fp32). ``root`` optionally
+    gives each ray its start node (multi-mesh tables, pack_scene_multi)."""
     nodes = jnp.asarray(scene.nodes)
     soup = jnp.asarray(scene.soup)
     skip_is_array = skip_prim_id is not None
@@ -280,4 +287,5 @@ def traverse_wavefront(
         max_leaf,
         tile,
         skip_is_array,
+        root=root,
     )

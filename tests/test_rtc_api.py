@@ -1,0 +1,84 @@
+"""Embree-style front end: the reference shim's call sequence, batched."""
+
+import numpy as np
+import pytest
+
+from nanort_tpu import make_rays
+from nanort_tpu.api.rtc import BufferType, new_device
+from nanort_tpu.io.procedural import make_uv_sphere
+
+
+def _fill_sphere(scene, radius=1.0, center=(0, 0, 0)):
+    v, f = make_uv_sphere(10, 20, radius, center)
+    gid = scene.new_triangle_mesh(len(f), len(v))
+    scene.map_buffer(gid, BufferType.VERTEX)[:] = v
+    scene.map_buffer(gid, BufferType.INDEX)[:] = f
+    return gid
+
+
+def test_embree_call_sequence():
+    device = new_device()
+    scene = device.new_scene()
+    gid0 = _fill_sphere(scene, 0.5, (-1.5, 0, 0))
+    gid1 = _fill_sphere(scene, 0.5, (1.5, 0, 0))
+    scene.commit()
+
+    lo, hi = scene.bounds()
+    np.testing.assert_allclose(lo, [-2, -0.5, -0.5], atol=1e-5)
+    np.testing.assert_allclose(hi, [2, 0.5, 0.5], atol=1e-5)
+
+    rays = make_rays(
+        np.array([[-1.5, 0, 5], [1.5, 0, 5], [0, 0, 5]], np.float32),
+        np.tile([0, 0, -1.0], (3, 1)).astype(np.float32),
+    )
+    hits = scene.intersect(rays)
+    h = np.asarray(hits.hit)
+    assert h[0] and h[1] and not h[2]
+    assert int(hits.node_id[0]) == gid0 and int(hits.node_id[1]) == gid1
+    assert int(hits.node_id[2]) == 0xFFFFFFFF  # RTC_INVALID_GEOMETRY_ID
+
+    occ = np.asarray(scene.occluded(rays))
+    assert occ[0] and occ[1] and not occ[2]
+
+
+def test_geom_id_freelist_and_rebuild():
+    device = new_device()
+    scene = device.new_scene()
+    g0 = _fill_sphere(scene, 0.5, (-2, 0, 0))
+    g1 = _fill_sphere(scene, 0.5, (2, 0, 0))
+    scene.delete_geometry(g0)
+    g2 = _fill_sphere(scene, 0.5, (0, 0, 0))
+    assert g2 == g0  # free-list reuse like the reference HandleAllocator
+    scene.commit()
+    rays = make_rays(
+        np.array([[0, 0, 5]], np.float32), np.array([[0, 0, -1.0]], np.float32)
+    )
+    hits = scene.intersect(rays)
+    assert bool(hits.hit[0]) and int(hits.node_id[0]) == g2
+
+
+def test_uncommitted_raises():
+    device = new_device()
+    scene = device.new_scene()
+    _fill_sphere(scene)
+    rays = make_rays(np.zeros((1, 3), np.float32), np.array([[0, 0, 1.0]], np.float32))
+    with pytest.raises(RuntimeError):
+        scene.intersect(rays)
+    with pytest.raises(ValueError):
+        device.new_scene().commit()
+
+
+def test_set_transform():
+    device = new_device()
+    scene = device.new_scene()
+    gid = _fill_sphere(scene, 1.0)
+    from nanort_tpu.scene import matrix as mat
+
+    scene.set_transform(gid, mat.translate([0, 3, 0]))
+    scene.commit()
+    rays = make_rays(
+        np.array([[0, 3, 5], [0, 0, 5]], np.float32),
+        np.tile([0, 0, -1.0], (2, 1)).astype(np.float32),
+    )
+    hits = scene.intersect(rays)
+    assert bool(hits.hit[0]) and not bool(hits.hit[1])

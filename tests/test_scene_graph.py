@@ -1,0 +1,147 @@
+"""Two-level scene graph (NanoSG equivalent): instancing + transforms."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nanort_tpu import build_triangle_bvh, make_rays, traverse_triangles
+from nanort_tpu.io.procedural import make_cornell_box, make_uv_sphere
+from nanort_tpu.ops.triangle import TriangleMesh
+from nanort_tpu.scene import matrix as mat
+from nanort_tpu.scene.graph import Node, Scene
+
+
+def _sphere_mesh(r=1.0):
+    v, f = make_uv_sphere(10, 20, r)
+    return TriangleMesh(vertices=jnp.asarray(v), faces=jnp.asarray(f))
+
+
+def _rays_grid(n, z=5.0, span=2.5):
+    xs = np.linspace(-span, span, n, dtype=np.float32)
+    gx, gy = np.meshgrid(xs, xs, indexing="ij")
+    org = np.stack([gx, gy, np.full((n, n), z, np.float32)], -1)
+    d = np.zeros_like(org)
+    d[..., 2] = -1.0
+    return make_rays(org.reshape(-1, 3), d.reshape(-1, 3))
+
+
+def test_identity_instance_matches_flat_traversal():
+    mesh = _sphere_mesh()
+    sc = Scene()
+    sc.add_node(Node("ball", mesh))
+    sc.commit()
+    rays = _rays_grid(24)
+    got = sc.traverse(rays)
+    bvh, _ = build_triangle_bvh(mesh)
+    want = traverse_triangles(bvh, mesh, rays)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    m = np.asarray(want.hit)
+    np.testing.assert_allclose(
+        np.asarray(got.t)[m], np.asarray(want.t)[m], rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.prim_id)[m], np.asarray(want.prim_id)[m]
+    )
+    assert (np.asarray(got.node_id)[m] == 0).all()
+
+
+def test_translated_instances():
+    mesh = _sphere_mesh(0.5)
+    sc = Scene()
+    sc.add_node(Node("left", mesh, mat.translate([-1.5, 0, 0])))
+    sc.add_node(Node("right", mesh, mat.translate([1.5, 0, 0])))
+    sc.commit()
+    rays = make_rays(
+        np.array([[-1.5, 0, 5], [1.5, 0, 5], [0, 0, 5]], np.float32),
+        np.tile([0, 0, -1.0], (3, 1)).astype(np.float32),
+    )
+    h = sc.traverse(rays)
+    hits = np.asarray(h.hit)
+    assert hits[0] and hits[1] and not hits[2]
+    assert np.asarray(h.node_id)[0] == 0 and np.asarray(h.node_id)[1] == 1
+    np.testing.assert_allclose(np.asarray(h.t)[:2], [4.5, 4.5], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(h.position)[0], [-1.5, 0, 0.5], atol=1e-5
+    )
+
+
+def test_scaled_instance_world_distance():
+    mesh = _sphere_mesh(1.0)
+    sc = Scene()
+    sc.add_node(Node("big", mesh, mat.scale(2.0)))
+    sc.commit()
+    rays = make_rays(
+        np.array([[0, 0, 5]], np.float32), np.array([[0, 0, -1.0]], np.float32)
+    )
+    h = sc.traverse(rays)
+    assert bool(h.hit[0])
+    # sphere scaled to radius 2 -> hit at z=2 -> world t=3
+    np.testing.assert_allclose(float(h.t[0]), 3.0, rtol=2e-3)
+    # normal transform: must point back toward the ray (+z), unit length
+    ng = np.asarray(h.normal_g)[0]
+    assert abs(np.linalg.norm(ng) - 1) < 1e-5 and abs(abs(ng[2]) - 1) < 5e-2  # coarse-facet normal
+
+
+def test_nested_transforms():
+    mesh = _sphere_mesh(0.5)
+    sc = Scene()
+    parent = sc.add_node(Node("group", None, mat.translate([0, 2, 0])))
+    parent.add_child(Node("ball", mesh, mat.translate([1, 0, 0])))
+    sc.commit()
+    rays = make_rays(
+        np.array([[1, 2, 5]], np.float32), np.array([[0, 0, -1.0]], np.float32)
+    )
+    h = sc.traverse(rays)
+    assert bool(h.hit[0])
+    np.testing.assert_allclose(np.asarray(h.position)[0], [1, 2, 0.5], atol=1e-5)
+
+
+def test_rotated_instance():
+    # squash a sphere then rotate: checks inv_xform + normal transform
+    mesh = _sphere_mesh(1.0)
+    sc = Scene()
+    xf = mat.compose(mat.rotate([0, 0, 1], np.pi / 2), mat.scale([2.0, 0.5, 1.0]))
+    sc.add_node(Node("rot", mesh, xf))
+    sc.commit()
+    # after scale(2,0.5,1) + rot z 90deg: extents x=0.5, y=2
+    rays = make_rays(
+        np.array([[0, 0, 5], [1.0, 0, 5], [0, 1.5, 5]], np.float32),
+        np.tile([0, 0, -1.0], (3, 1)).astype(np.float32),
+    )
+    h = sc.traverse(rays)
+    hits = np.asarray(h.hit)
+    assert hits[0] and not hits[1] and hits[2]
+
+
+def test_find_node_and_bbox():
+    mesh = _sphere_mesh(1.0)
+    sc = Scene()
+    g = sc.add_node(Node("group"))
+    g.add_child(Node("inner", mesh, mat.translate([3, 0, 0])))
+    assert sc.find_node("inner") is not None
+    assert sc.find_node("nope") is None
+    sc.commit()
+    lo, hi = sc.bounding_box()
+    np.testing.assert_allclose(lo, [2, -1, -1], atol=1e-5)
+    np.testing.assert_allclose(hi, [4, 1, 1], atol=1e-5)
+
+
+def test_many_instances_nearest_wins():
+    mesh = _sphere_mesh(0.4)
+    sc = Scene()
+    for i in range(12):
+        sc.add_node(Node(f"s{i}", mesh, mat.translate([0, 0, -float(i)])))
+    sc.commit()
+    rays = make_rays(
+        np.array([[0, 0, 5]], np.float32), np.array([[0, 0, -1.0]], np.float32)
+    )
+    h = sc.traverse(rays)
+    assert bool(h.hit[0])
+    assert int(h.node_id[0]) == 0  # nearest instance at z=0
+    np.testing.assert_allclose(float(h.t[0]), 4.6, rtol=1e-5)
+
+
+def test_empty_scene_raises():
+    sc = Scene()
+    with pytest.raises(ValueError):
+        sc.commit()
