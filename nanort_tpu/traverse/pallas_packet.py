@@ -55,7 +55,7 @@ def _kernel_body(
     mint_ref, maxt_ref,
     skip_ref,
     t_out, u_out, v_out, pid_out,
-    stack_ref,
+    stack_ref, leafq_ref,
     *,
     cull_back_face: bool,
     exact_edge_fallback: bool,
@@ -102,12 +102,6 @@ def _kernel_body(
     sy = comp(dx, dy, dz, ky) / dkz
     sz = 1.0 / dkz
 
-    # accumulators in output refs
-    t_out[:] = max_t
-    u_out[:] = jnp.zeros_like(max_t)
-    v_out[:] = jnp.zeros_like(max_t)
-    pid_out[:] = jnp.full(max_t.shape, -1, jnp.int32)
-
     stack_ref[0] = 0
 
     if exact_edge_fallback:
@@ -129,11 +123,10 @@ def _kernel_body(
             p2, e2 = two_prod(c, d)
             return (p1 - p2) + (e1 - e2)
 
-    def leaf_test(lrow, cnt):
-        t_b = t_out[:]
-        u_b = u_out[:]
-        v_b = v_out[:]
-        p_b = pid_out[:]
+    def leaf_test(lrow, cnt, carry):
+        # accumulators live in vector registers across the whole drain
+        # loop (VMEM read/write round trips per leaf measurably stall)
+        t_b, u_b, v_b, p_b = carry
         for ti in range(leaf_unroll):
             p0x, p0y, p0z = lrow[0, 9 * ti], lrow[0, 9 * ti + 1], lrow[0, 9 * ti + 2]
             p1x, p1y, p1z = lrow[0, 9 * ti + 3], lrow[0, 9 * ti + 4], lrow[0, 9 * ti + 5]
@@ -179,59 +172,55 @@ def _kernel_body(
             u_b = jnp.where(valid, V * rcp, u_b)
             v_b = jnp.where(valid, W * rcp, v_b)
             p_b = jnp.where(valid, pid_t, p_b)
-        t_out[:] = t_b
-        u_out[:] = u_b
-        v_out[:] = v_b
-        pid_out[:] = p_b
+        return t_b, u_b, v_b, p_b
 
     MM = f32(1.00000024)
 
-    def step(sp):
-        # Multi-pop: process up to `multi_pop` nodes per iteration. The
-        # serial chain (row fetch -> slab -> vector->scalar sync -> stack
-        # update -> next fetch) is latency-bound; batching MP nodes per
-        # iteration amortizes the one unavoidable vector->SREG move (the
-        # OR-reduced hit bitmask) and overlaps the independent row
-        # fetches/slab tests.
-        take = jnp.minimum(sp, multi_pop)
-        rows = []
-        for j in range(multi_pop):
-            idx = stack_ref[jnp.maximum(sp - 1 - j, 0)]
-            rows.append(nodes_ref[pl.ds(idx, 1), :])  # (1, 128)
-        sp = sp - take
-        t_b = t_out[:]
+    # ------------------------------------------------------------------
+    # Two-phase loop. Profiling showed per-child pl.when blocks dominate
+    # (each scalar-conditional region around vector code costs a pipeline
+    # bubble; a packet executes ~700 of them). Phase A pops nodes and
+    # writes *unconditionally* into the SMEM stack / leaf queue — a write
+    # at the current top that isn't accompanied by a pointer bump is dead
+    # and harmlessly overwritten — so the only conditionals are the two
+    # scalar while conditions. Phase B drains the leaf queue with the
+    # t/u/v/pid accumulators carried in vector registers.
+    # ------------------------------------------------------------------
+    LQ_CAP = 24
 
-        # All child slab tests, bit-packed into one per-ray int32 mask
-        # (multi_pop * 8 <= 32 bits), OR-reduced across the tile in the
-        # VPU (log-tree of rolls), then ONE scalar extraction.
+    def node_step(c):
+        sp, lq, t_b = c
+        sp = sp - 1
+        idx = stack_ref[sp]
+        row = nodes_ref[pl.ds(idx, 1), :]  # (1, 128)
+
         m = None
-        for j in range(multi_pop):
-            row = rows[j]
-            for c in range(8):
-                b0x, b0y, b0z = row[0, 8 * c], row[0, 8 * c + 1], row[0, 8 * c + 2]
-                b1x, b1y, b1z = row[0, 8 * c + 3], row[0, 8 * c + 4], row[0, 8 * c + 5]
-                lox = jnp.where(nx, b1x, b0x)
-                hix = jnp.where(nx, b0x, b1x)
-                loy = jnp.where(ny, b1y, b0y)
-                hiy = jnp.where(ny, b0y, b1y)
-                loz = jnp.where(nz, b1z, b0z)
-                hiz = jnp.where(nz, b0z, b1z)
-                t0x = (lox - ox) * ix
-                t0y = (loy - oy) * iy
-                t0z = (loz - oz) * iz
-                t1x = (hix - ox) * ix * MM
-                t1y = (hiy - oy) * iy * MM
-                t1z = (hiz - oz) * iz * MM
-                tmin = min_t
-                tmin = jnp.where(t0x > tmin, t0x, tmin)
-                tmin = jnp.where(t0y > tmin, t0y, tmin)
-                tmin = jnp.where(t0z > tmin, t0z, tmin)
-                tmax = t_b
-                tmax = jnp.where(t1x < tmax, t1x, tmax)
-                tmax = jnp.where(t1y < tmax, t1y, tmax)
-                tmax = jnp.where(t1z < tmax, t1z, tmax)
-                hit_c = (tmin <= tmax).astype(jnp.int32) << (8 * j + c)
-                m = hit_c if m is None else m | hit_c
+        for cc in range(8):
+            b0x, b0y, b0z = row[0, 8 * cc], row[0, 8 * cc + 1], row[0, 8 * cc + 2]
+            b1x, b1y, b1z = row[0, 8 * cc + 3], row[0, 8 * cc + 4], row[0, 8 * cc + 5]
+            lox = jnp.where(nx, b1x, b0x)
+            hix = jnp.where(nx, b0x, b1x)
+            loy = jnp.where(ny, b1y, b0y)
+            hiy = jnp.where(ny, b0y, b1y)
+            loz = jnp.where(nz, b1z, b0z)
+            hiz = jnp.where(nz, b0z, b1z)
+            t0x = (lox - ox) * ix
+            t0y = (loy - oy) * iy
+            t0z = (loz - oz) * iz
+            t1x = (hix - ox) * ix * MM
+            t1y = (hiy - oy) * iy * MM
+            t1z = (hiz - oz) * iz * MM
+            tmin = min_t
+            tmin = jnp.where(t0x > tmin, t0x, tmin)
+            tmin = jnp.where(t0y > tmin, t0y, tmin)
+            tmin = jnp.where(t0z > tmin, t0z, tmin)
+            tmax = t_b
+            tmax = jnp.where(t1x < tmax, t1x, tmax)
+            tmax = jnp.where(t1y < tmax, t1y, tmax)
+            tmax = jnp.where(t1z < tmax, t1z, tmax)
+            hit_c = (tmin <= tmax).astype(jnp.int32) << cc
+            m = hit_c if m is None else m | hit_c
+        # OR-reduce across the tile (VPU roll tree), ONE scalar move
         for sh in (64, 32, 16, 8, 4, 2, 1):
             m = m | pltpu.roll(m, sh, axis=1)
         sub_n = m.shape[0]
@@ -239,33 +228,48 @@ def _kernel_body(
         while sh < sub_n:
             m = m | pltpu.roll(m, sh, axis=0)
             sh *= 2
-        mask = m[0, 0]  # the single vector->scalar move per step
+        mask = m[0, 0]
 
-        for j in range(multi_pop):
-            row = rows[j]
-            j_valid = j < take
-            for c in range(8):
-                any_hit = j_valid & (((mask >> (8 * j + c)) & 1) == 1)
-                meta = row[0, 64 + c].astype(jnp.int32)
-                cnt = row[0, 72 + c].astype(jnp.int32)
-                push = any_hit & (meta >= 0)
-                do_leaf = any_hit & (meta < 0)
+        for cc in range(8):
+            bit = (mask >> cc) & 1
+            meta = row[0, 64 + cc].astype(jnp.int32)
+            cnt = row[0, 72 + cc].astype(jnp.int32)
+            internal = (meta >= 0).astype(jnp.int32)
+            # unconditional writes; pointers advance only when the child
+            # is a hit of the matching kind
+            stack_ref[sp] = meta
+            sp = sp + bit * internal
+            leafq_ref[lq] = ((-meta - 1) << 4) | (cnt & 15)
+            lq = lq + bit * (1 - internal)
+        return sp, lq, t_b
 
-                @pl.when(push)
-                def _():
-                    stack_ref[sp] = meta
+    def drain_body(q, carry):
+        packed = leafq_ref[q]
+        lrow = leafs_ref[pl.ds(packed >> 4, 1), :]
+        return leaf_test(lrow, packed & 15, carry)
 
-                # sp advance is functional; the guarded write above lands
-                # at the pre-bump top
-                sp = sp + push.astype(jnp.int32)
+    def outer(state):
+        sp, t_b, u_b, v_b, p_b = state
+        sp, lq, _ = jax.lax.while_loop(
+            lambda c: (c[0] > 0) & (c[1] < LQ_CAP),
+            node_step,
+            (sp, jnp.int32(0), t_b),
+        )
+        t_b, u_b, v_b, p_b = jax.lax.fori_loop(
+            0, lq, drain_body, (t_b, u_b, v_b, p_b)
+        )
+        return sp, t_b, u_b, v_b, p_b
 
-                @pl.when(do_leaf)
-                def _():
-                    lrow = leafs_ref[pl.ds(-meta - 1, 1), :]
-                    leaf_test(lrow, cnt)
-        return sp
-
-    jax.lax.while_loop(lambda sp: sp > 0, step, jnp.int32(1))
+    _, t_b, u_b, v_b, p_b = jax.lax.while_loop(
+        lambda st: st[0] > 0,
+        outer,
+        (jnp.int32(1), max_t, jnp.zeros_like(max_t), jnp.zeros_like(max_t),
+         jnp.full(max_t.shape, -1, jnp.int32)),
+    )
+    t_out[:] = t_b
+    u_out[:] = u_b
+    v_out[:] = v_b
+    pid_out[:] = p_b
 
 
 @functools.lru_cache(maxsize=32)
@@ -302,7 +306,10 @@ def _make_kernel(
             jax.ShapeDtypeStruct((n_packets, sub, LANES), jnp.float32),
             jax.ShapeDtypeStruct((n_packets, sub, LANES), jnp.int32),
         ),
-        scratch_shapes=[pltpu.SMEM((stack_size,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((stack_size,), jnp.int32),
+            pltpu.SMEM((64,), jnp.int32),  # leaf queue (cap 24 + 8 slack)
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_mb * 1024 * 1024,
         ),
