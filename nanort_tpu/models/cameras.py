@@ -228,3 +228,37 @@ def generate_rays(cam: Camera, camera_type: str = "perspective", **kw) -> Rays:
     (camera.cc:39-61); unknown names fall back to perspective."""
     fn = CAMERA_REGISTRY.get(camera_type, pinhole_rays)
     return fn(cam, **kw)
+
+
+def vr_omnistereo_rays(width: int, height: int, ipd: float = 0.0635,
+                       dtype=jnp.float32) -> Rays:
+    """Omnidirectional stereo panorama (reference examples/vrcamera/
+    main.cc:552-585): top half = left eye, bottom half = right eye; eyes
+    offset on a circle of diameter ``ipd`` (inter-pupillary distance,
+    meters); equirectangular direction mapping."""
+    x = jnp.arange(width, dtype=dtype)
+    y = jnp.arange(height, dtype=dtype)
+    gx, gy = jnp.meshgrid(x, y, indexing="xy")
+    is_left = gy < (height / 2)
+    screen_y = 2.0 * (gy / height) - 1.0
+    theta = 2.0 * jnp.pi * (gx / width)
+    theta_off = theta + jnp.where(is_left, 0.0, jnp.pi)
+    phi = (jnp.mod(2.0 * (0.5 * screen_y + 0.5), 1.0) - 0.5) * jnp.pi
+    org = jnp.stack(
+        [
+            0.5 * ipd * (-jnp.cos(theta_off)),
+            jnp.zeros_like(theta),
+            0.5 * ipd * jnp.sin(theta_off),
+        ],
+        -1,
+    )
+    d = jnp.stack(
+        [
+            jnp.cos(phi) * -jnp.sin(theta),
+            jnp.sin(phi),
+            jnp.cos(phi) * -jnp.cos(theta),
+        ],
+        -1,
+    )
+    d = normalize(d)
+    return make_rays(org.astype(dtype), d.astype(dtype))

@@ -54,3 +54,21 @@ def test_pinhole_center_ray_points_at_target(scene):
     want = -np.asarray([1, 2, 3], np.float64)
     want /= np.linalg.norm(want)
     np.testing.assert_allclose(center_dir, want, atol=0.03)
+
+
+def test_vr_omnistereo(scene):
+    from nanort_tpu.models.cameras import vr_omnistereo_rays
+
+    bvh, mesh = scene
+    rays = vr_omnistereo_rays(64, 32)
+    assert rays.org.shape == (32, 64, 3)
+    org = np.asarray(rays.org)
+    # eye offsets: |org| = ipd/2 everywhere, and left/right eyes differ
+    np.testing.assert_allclose(
+        np.linalg.norm(org, axis=-1), 0.0635 / 2, rtol=1e-5
+    )
+    assert not np.allclose(org[0, 10], org[-1, 10])
+    from nanort_tpu import traverse_triangles
+
+    hits = traverse_triangles(bvh, mesh, rays)
+    assert float(np.asarray(hits.hit).mean()) > 0.5  # inside the box
