@@ -7,10 +7,18 @@ vs_baseline is measured Mrays/s divided by the 200 Mrays/s/chip north-star
 target (BASELINE.json) — the reference publishes no numbers of its own
 (BASELINE.md).
 
-Run on the real TPU (default backend). Smaller/faster settings via env:
+Path: native C++ SAH build -> BVH8 collapse -> Pallas packet traversal
+kernel (VMEM-resident scene; see nanort_tpu/traverse/pallas_packet.py).
+Timing forces a scalar readback per rep: on the tunneled axon backend,
+block_until_ready returns at enqueue, not completion.
+
+Env knobs:
   NANORT_BENCH_TRIS   (default 1_000_000)
   NANORT_BENCH_RES    (default 1024 -> 1024x1024 rays/frame)
   NANORT_BENCH_REPS   (default 5)
+  NANORT_BENCH_LEAF   (default 8)
+  NANORT_BENCH_SUB    (default 16 -> 2048-ray packets)
+  NANORT_BENCH_PATH   ("pallas" | "wavefront", default pallas)
 """
 
 from __future__ import annotations
@@ -27,20 +35,19 @@ NORTH_STAR_MRAYS = 200.0
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     n_tris = int(os.environ.get("NANORT_BENCH_TRIS", 1_000_000))
     res = int(os.environ.get("NANORT_BENCH_RES", 1024))
     reps = int(os.environ.get("NANORT_BENCH_REPS", 5))
+    leaf = int(os.environ.get("NANORT_BENCH_LEAF", 8))
+    sub = int(os.environ.get("NANORT_BENCH_SUB", 16))
+    path = os.environ.get("NANORT_BENCH_PATH", "pallas")
 
     from nanort_tpu import BVHBuildOptions, build_triangle_bvh
     from nanort_tpu.io.procedural import make_subdivided_sphere_scene
     from nanort_tpu.models.cameras import look_at, pinhole_rays
     from nanort_tpu.ops.triangle import TriangleMesh
-    from nanort_tpu.traverse.packed import pack_scene
-    from nanort_tpu.traverse.wavefront import traverse_wavefront
-
-    leaf = int(os.environ.get("NANORT_BENCH_LEAF", 16))
-    tile = int(os.environ.get("NANORT_BENCH_TILE", 4096))
 
     v, f = make_subdivided_sphere_scene(n_tris)
     mesh = TriangleMesh(vertices=v, faces=f)
@@ -50,15 +57,13 @@ def main():
         BVHBuildOptions(min_leaf_primitives=leaf, max_leaf_primitives=leaf),
     )
     build_s = time.perf_counter() - t0
-    scene = pack_scene(bvh, v, f)
     print(
-        f"# scene {len(f)} tris; build {build_s:.1f}s "
-        f"({len(f)/build_s/1e6:.3f} Mtris/s), {bvh.num_nodes} nodes, "
+        f"# scene {len(f)} tris; build {build_s:.2f}s "
+        f"({len(f)/build_s/1e6:.2f} Mtris/s), {bvh.num_nodes} nodes, "
         f"depth {stats.max_tree_depth}",
         file=sys.stderr,
     )
 
-    # camera close enough that ~all rays hit (coherent primary visibility)
     cam = look_at(
         eye=(0.0, 0.0, 2.2), center=(0.0, 0.0, 0.0),
         width=res, height=res, fov=60.0,
@@ -66,12 +71,46 @@ def main():
     rays = pinhole_rays(cam)
     n_rays = res * res
 
-    run = lambda: jax.block_until_ready(
-        traverse_wavefront(scene, rays, max_leaf=leaf, tile=tile)
-    )
-    hits = run()  # compile + warmup
+    if path == "pallas":
+        from nanort_tpu.build.bvh8 import collapse_bvh8
+        from nanort_tpu.traverse.pallas_packet import (
+            tile_image_rays,
+            traverse_bvh8,
+        )
+
+        s8 = collapse_bvh8(bvh, v, f)
+        s8 = s8._replace(
+            nodes=jax.device_put(jnp.asarray(s8.nodes)),
+            leafs=jax.device_put(jnp.asarray(s8.leafs)),
+        )
+        tile_w = min(8 * sub, res)
+        rays_t, _ = tile_image_rays(rays, min(32, res), tile_w)
+
+        def run():
+            h = traverse_bvh8(s8, rays_t, sub=sub)
+            # scalar readback forces completion through the tunnel
+            return float(h.t.min()), h
+    else:
+        from nanort_tpu.traverse.packed import pack_scene
+        from nanort_tpu.traverse.wavefront import traverse_wavefront
+
+        scene = pack_scene(bvh, v, f)
+        scene = scene.__class__(
+            jax.device_put(jnp.asarray(scene.nodes)),
+            jax.device_put(jnp.asarray(scene.soup)),
+            scene.num_nodes,
+            scene.num_prims,
+        )
+
+        def run():
+            h = traverse_wavefront(scene, rays, max_leaf=leaf, tile=4096)
+            return float(h.t.min()), h
+
+    t0 = time.perf_counter()
+    _, hits = run()
+    print(f"# first call (incl compile): {time.perf_counter()-t0:.0f}s", file=sys.stderr)
     hit_frac = float(np.asarray(hits.hit).mean())
-    print(f"# warmup done; hit fraction {hit_frac:.3f}", file=sys.stderr)
+    print(f"# hit fraction {hit_frac:.3f}", file=sys.stderr)
 
     times = []
     for _ in range(reps):
