@@ -136,11 +136,20 @@ def collapse_bvh8(bvh: BVH, vertices, faces) -> BVH8Scene:
                 # placeholder patched when the child row is emitted
                 stack.append((b, my, c, depth + 1))
 
-    nodes = np.stack(rows) if rows else np.zeros((1, 128), np.float32)
+    rows.append(rows[0] * 0.0)  # dummy row at index num_nodes: the packet
+    # kernel's software-pipelined loop parks on it (empty boxes never hit)
+    dummy = rows[-1]
+    dummy[0:64:8] = EMPTY_BIG
+    dummy[1:64:8] = EMPTY_BIG
+    dummy[2:64:8] = EMPTY_BIG
+    dummy[3:64:8] = -EMPTY_BIG
+    dummy[4:64:8] = -EMPTY_BIG
+    dummy[5:64:8] = -EMPTY_BIG
+    nodes = np.stack(rows)
     return BVH8Scene(
         nodes=nodes,
         leafs=leafs,
-        num_nodes=nodes.shape[0],
+        num_nodes=nodes.shape[0] - 1,  # excludes the dummy row
         num_leaf_rows=m,
         depth=max_depth + 1,
         max_leaf=int(counts.max(initial=1)),

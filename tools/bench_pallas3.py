@@ -21,7 +21,7 @@ rays = pinhole_rays(cam)
 
 def bench(label, rays_flat, sub, mp, reps=3):
     def run():
-        h = traverse_bvh8(s8, rays_flat, sub=sub, multi_pop=mp)
+        h = traverse_bvh8(s8, rays_flat, sub=sub)
         return float(h.t.min())
     t0=time.perf_counter(); run(); print(f"[compile] {label}: {time.perf_counter()-t0:.0f}s", flush=True)
     ts=[]
