@@ -62,7 +62,7 @@ def _kernel_body(
     use_skip: bool,
     stack_size: int,
     leaf_unroll: int,
-    num_nodes: int,
+    multi_pop: int,
 ):
     f32 = jnp.float32
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -187,17 +187,12 @@ def _kernel_body(
     # t/u/v/pid accumulators carried in vector registers.
     # ------------------------------------------------------------------
     LQ_CAP = 24
-    # dummy row index: build appends an all-empty row after the real nodes
-    # (build/bvh8.py); the software pipeline parks on it
-    DUMMY = jnp.int32(num_nodes)
 
     def node_step(c):
-        # Software-pipelined by one iteration: slab tests are issued for
-        # idx_cur while the hit-mask of idx_prv (computed last iteration)
-        # is extracted — by then its vector pipeline has drained, turning
-        # an ~800 ns stall into ~100 ns.
-        sp, lq, idx_cur, m_prv, idx_prv, t_b = c
-        row = nodes_ref[pl.ds(idx_cur, 1), :]  # (1, 128)
+        sp, lq, t_b = c
+        sp = sp - 1
+        idx = stack_ref[sp]
+        row = nodes_ref[pl.ds(idx, 1), :]  # (1, 128)
 
         m = None
         for cc in range(8):
@@ -233,13 +228,12 @@ def _kernel_body(
         while sh < sub_n:
             m = m | pltpu.roll(m, sh, axis=0)
             sh *= 2
-        mask = m_prv[0, 0]  # extract the PREVIOUS node's drained mask
+        mask = m[0, 0]
 
-        row_prv = nodes_ref[pl.ds(idx_prv, 1), :]
         for cc in range(8):
             bit = (mask >> cc) & 1
-            meta = row_prv[0, 64 + cc].astype(jnp.int32)
-            cnt = row_prv[0, 72 + cc].astype(jnp.int32)
+            meta = row[0, 64 + cc].astype(jnp.int32)
+            cnt = row[0, 72 + cc].astype(jnp.int32)
             internal = (meta >= 0).astype(jnp.int32)
             # unconditional writes; pointers advance only when the child
             # is a hit of the matching kind
@@ -247,11 +241,7 @@ def _kernel_body(
             sp = sp + bit * internal
             leafq_ref[lq] = ((-meta - 1) << 4) | (cnt & 15)
             lq = lq + bit * (1 - internal)
-        # pop the next node, or park on the dummy row when empty
-        has = (sp > 0).astype(jnp.int32)
-        sp = sp - has
-        idx_next = jnp.where(has == 1, stack_ref[sp], DUMMY)
-        return sp, lq, idx_next, m, idx_cur, t_b
+        return sp, lq, t_b
 
     def drain_body(q, carry):
         packed = leafq_ref[q]
@@ -259,33 +249,27 @@ def _kernel_body(
         return leaf_test(lrow, packed & 15, carry)
 
     def outer(state):
-        sp, idx_cur, m_prv, idx_prv, t_b, u_b, v_b, p_b = state
-        # Phase A: nodes, until the leaf queue nears capacity or the
-        # pipeline fully drains (both in-flight slots parked on DUMMY)
-        sp, lq, idx_cur, m_prv, idx_prv, _ = jax.lax.while_loop(
-            lambda c: ((c[0] > 0) | (c[2] != DUMMY) | (c[4] != DUMMY))
-            & (c[1] < LQ_CAP),
+        sp, t_b, u_b, v_b, p_b = state
+        sp, lq, _ = jax.lax.while_loop(
+            lambda c: (c[0] > 0) & (c[1] < LQ_CAP),
             node_step,
-            (sp, jnp.int32(0), idx_cur, m_prv, idx_prv, t_b),
+            (sp, jnp.int32(0), t_b),
         )
-        # Phase B: drain leaves with register accumulators
         t_b, u_b, v_b, p_b = jax.lax.fori_loop(
             0, lq, drain_body, (t_b, u_b, v_b, p_b)
         )
-        return sp, idx_cur, m_prv, idx_prv, t_b, u_b, v_b, p_b
+        return sp, t_b, u_b, v_b, p_b
 
-    zmask = jnp.zeros(max_t.shape, jnp.int32)
-    out = jax.lax.while_loop(
-        lambda st: (st[0] > 0) | (st[1] != DUMMY) | (st[3] != DUMMY),
+    _, t_b, u_b, v_b, p_b = jax.lax.while_loop(
+        lambda st: st[0] > 0,
         outer,
-        (jnp.int32(0), jnp.int32(0), zmask, DUMMY, max_t,
-         jnp.zeros_like(max_t), jnp.zeros_like(max_t),
+        (jnp.int32(1), max_t, jnp.zeros_like(max_t), jnp.zeros_like(max_t),
          jnp.full(max_t.shape, -1, jnp.int32)),
     )
-    t_out[:] = out[4]
-    u_out[:] = out[5]
-    v_out[:] = out[6]
-    pid_out[:] = out[7]
+    t_out[:] = t_b
+    u_out[:] = u_b
+    v_out[:] = v_b
+    pid_out[:] = p_b
 
 
 @functools.lru_cache(maxsize=32)
@@ -298,7 +282,7 @@ def _make_kernel(
     stack_size: int,
     vmem_mb: int,
     leaf_unroll: int,
-    num_nodes: int,
+    multi_pop: int,
 ):
     body = functools.partial(
         _kernel_body,
@@ -307,7 +291,7 @@ def _make_kernel(
         use_skip=use_skip,
         stack_size=stack_size,
         leaf_unroll=leaf_unroll,
-        num_nodes=num_nodes,
+        multi_pop=multi_pop,
     )
     ray_spec = pl.BlockSpec((None, sub, LANES), lambda i: (i, 0, 0))
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -340,6 +324,7 @@ def traverse_bvh8(
     skip_prim_id=None,
     sub: int = DEF_SUB,
     vmem_mb: int = 110,
+    multi_pop: int = 4,
 ) -> Hits:
     """Trace rays against a VMEM-resident BVH8 scene (fp32).
 
@@ -394,10 +379,10 @@ def traverse_bvh8(
         options.cull_back_face,
         options.exact_edge_fallback,
         use_skip,
-        max(64, 16 * scene.depth) + 8,
+        max(64, 16 * scene.depth) + 8 * multi_pop,
         vmem_mb,
         scene.max_leaf,
-        scene.num_nodes,
+        multi_pop,
     )
     t, u, v, pid = kern(
         jnp.asarray(scene.nodes),
