@@ -240,3 +240,56 @@ def traverse_triangles(
         skip_prim_id=skip_prim_id,
         max_stack=max_stack,
     )
+
+
+def list_node_intersections(
+    bvh,
+    rays: Rays,
+    max_intersections: int = 64,
+):
+    """Collect up to K nearest leaf-node AABB intersections per ray,
+    sorted front-to-back (reference ``BVHAccel::ListNodeIntersections``,
+    nanort.h:2558-2692 — the two-level traversal's top-level query,
+    nanosg.h:792).
+
+    Returns (t_min, t_max, node_id) arrays of shape (..., K); empty slots
+    carry node_id == 0xFFFFFFFF and t_min = +max. The reference walks the
+    tree with a priority queue; on TPU the leaf count of a top-level BVH
+    (one leaf per instance, min_leaf_primitives=1, nanosg.h:731) is tiny,
+    so all leaf boxes are tested in one vectorized pass and top-K sorted.
+    """
+    import numpy as np
+
+    from ..core.aabb import intersect_ray_aabb
+
+    flag = np.asarray(bvh.flag)
+    leaf_ids = np.nonzero(flag == 1)[0].astype(np.int32)
+    lo = jnp.asarray(np.asarray(bvh.bmin)[leaf_ids])
+    hi = jnp.asarray(np.asarray(bvh.bmax)[leaf_ids])
+    leaf_ids = jnp.asarray(leaf_ids)
+
+    bs = rays.batch_shape
+    org = rays.org.reshape(-1, 3)
+    d = rays.dir.reshape(-1, 3)
+    min_t = rays.min_t.reshape(-1)
+    max_t = rays.max_t.reshape(-1)
+    inv = safe_inverse(d)
+    hit, tmin, tmax = intersect_ray_aabb(
+        lo[None], hi[None], org[:, None], inv[:, None],
+        (d < 0)[:, None], min_t[:, None], max_t[:, None],
+    )  # (R, L)
+    dt = org.dtype
+    big = jnp.array(jnp.finfo(dt).max, dt)
+    K = min(max_intersections, lo.shape[0])
+    key = jnp.where(hit, tmin, big)
+    order = jnp.argsort(key, axis=1)[:, :K]
+    take = lambda a: jnp.take_along_axis(a, order, axis=1)
+    t_min_k = take(key)
+    t_max_k = jnp.where(take(hit), take(tmax), big)
+    ids_k = jnp.where(
+        take(hit),
+        jnp.take(leaf_ids, order).astype(jnp.uint32),
+        jnp.uint32(INVALID_PRIM_ID),
+    )
+    rs = lambda a: a.reshape(bs + (K,))
+    return rs(t_min_k), rs(t_max_k), rs(ids_k)
