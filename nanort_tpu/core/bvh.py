@@ -202,3 +202,21 @@ def stats_from_bvh(bvh: BVH) -> BVHBuildStatistics:
             stack.append((int(data[i, 1]), d + 1))
     st.max_tree_depth = depth
     return st
+
+
+def debug_dump(bvh: BVH, max_nodes: int = 16) -> str:
+    """Readable node dump (reference BVHAccel::Debug, nanort.h:2151-2162)."""
+    lines = []
+    flag = np.asarray(bvh.flag)
+    data = np.asarray(bvh.data)
+    bmin = np.asarray(bvh.bmin)
+    bmax = np.asarray(bvh.bmax)
+    for i in range(min(bvh.num_nodes, max_nodes)):
+        kind = "leaf" if flag[i] == 1 else "branch"
+        lines.append(
+            f"node[{i}] {kind} data=({data[i,0]},{data[i,1]}) "
+            f"bmin={bmin[i].tolist()} bmax={bmax[i].tolist()}"
+        )
+    if bvh.num_nodes > max_nodes:
+        lines.append(f"... ({bvh.num_nodes - max_nodes} more)")
+    return "\n".join(lines)
