@@ -41,11 +41,14 @@ MAX_DEPTH = 64  # fixed-point iteration bound
 
 
 def _expand_bits(v):
-    """Spread 10 bits to every 3rd position (standard Morton magic)."""
-    v = (v * 0x00010001) & 0xFF0000FF
-    v = (v * 0x00000101) & 0x0F00F00F
-    v = (v * 0x00000011) & 0xC30C30C3
-    v = (v * 0x00000005) & 0x49249249
+    """Spread 10 bits to every 3rd position (standard Morton magic).
+    Masks above 2^31 must be explicit uint32: bare Python literals
+    overflow the int32 weak type when x64 is off."""
+    u = jnp.uint32
+    v = (v * u(0x00010001)) & u(0xFF0000FF)
+    v = (v * u(0x00000101)) & u(0x0F00F00F)
+    v = (v * u(0x00000011)) & u(0xC30C30C3)
+    v = (v * u(0x00000005)) & u(0x49249249)
     return v
 
 
