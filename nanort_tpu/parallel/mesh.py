@@ -129,3 +129,95 @@ def sharded_traverse_triangles(
         bvh_r, geom_r, rays_s, options, max_leaf, max_stack,
         _MeshCtx(device_mesh),
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("options", "max_leaf", "max_stack", "mesh_ctx")
+)
+def _sharded_render_impl(
+    bvh, prims, rays, key, options, max_leaf, max_stack, mesh_ctx
+):
+    mesh = mesh_ctx.mesh
+    intersect_fn = tri.make_triangle_intersect(
+        cull_back_face=options.cull_back_face,
+        exact_edge_fallback=options.exact_edge_fallback,
+    )
+
+    def trace(bvh_l, prims_l, r):
+        return _stack.traverse(
+            bvh_l, prims_l, r, options,
+            prepare_fn=tri.triangle_prepare,
+            intersect_fn=intersect_fn,
+            max_leaf=max_leaf, max_stack=max_stack,
+        )
+
+    def local(bvh_l, prims_l, rays_l, key_l):
+        # full render step: primary visibility + one cosine-weighted
+        # occlusion bounce + shading, with cross-chip statistics
+        hits = trace(bvh_l, prims_l, rays_l)
+        hit = hits.prim_id != jnp.uint32(INVALID_PRIM_ID)
+        fid = jnp.where(hit, hits.prim_id, 0).astype(jnp.int32)
+        fv = jnp.take(prims_l.faces, fid, axis=0)
+        tri_v = jnp.take(prims_l.vertices, fv, axis=0)
+        n = jnp.cross(tri_v[:, 1] - tri_v[:, 0], tri_v[:, 2] - tri_v[:, 0])
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
+        n = jnp.where(
+            jnp.sum(n * rays_l.dir, -1, keepdims=True) > 0, -n, n
+        )
+        p = rays_l.org + hits.t[:, None] * rays_l.dir
+        # per-chip RNG stream via the mesh position
+        k = jax.random.fold_in(key_l, jax.lax.axis_index(RAY_AXIS))
+        u = jax.random.uniform(k, n.shape, jnp.float32)
+        d2 = n + 0.999 * (2.0 * u - 1.0)
+        d2 = d2 / jnp.maximum(jnp.linalg.norm(d2, axis=-1, keepdims=True), 1e-30)
+        sec = Rays(
+            org=p + 1e-4 * n,
+            dir=d2,
+            min_t=jnp.zeros_like(hits.t),
+            max_t=jnp.where(hit, jnp.float32(1e30), jnp.float32(0.0)),
+        )
+        occ = trace(bvh_l, prims_l, sec)
+        ao = jnp.where(
+            hit & (occ.prim_id == jnp.uint32(INVALID_PRIM_ID)), 1.0, 0.0
+        )
+        # collectives: global mean brightness + hit count ride ICI
+        n_hit = jax.lax.psum(jnp.sum(hit.astype(jnp.int32)), RAY_AXIS)
+        mean_ao = jax.lax.pmean(jnp.mean(ao), RAY_AXIS)
+        return ao, n_hit, mean_ao
+
+    shard_fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P()),
+        out_specs=(P(RAY_AXIS), P(), P()),
+    )
+    return shard_fn(bvh, prims, rays, key)
+
+
+def sharded_render_step(
+    bvh,
+    mesh_geom: TriangleMesh,
+    rays: Rays,
+    device_mesh: Mesh,
+    key=None,
+    options: BVHTraceOptions = BVHTraceOptions(),
+    max_leaf: int = 4,
+    max_stack: int = 64,
+):
+    """One full data-parallel render step over the device mesh: scene
+    replicated, rays sharded, primary + occlusion traversals per shard,
+    psum/pmean statistics over ICI. This is the framework's "full step"
+    for multi-chip validation (dryrun_multichip)."""
+    n = device_mesh.devices.size
+    if rays.org.shape[0] % n:
+        raise ValueError("ray batch not divisible by mesh size")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    bvh_r = replicate(bvh, device_mesh)
+    geom_r = replicate(mesh_geom, device_mesh)
+    rays_s = shard_rays(rays, device_mesh)
+    key_r = replicate(key, device_mesh)
+    return _sharded_render_impl(
+        bvh_r, geom_r, rays_s, key_r, options, max_leaf, max_stack,
+        _MeshCtx(device_mesh),
+    )

@@ -41,3 +41,27 @@ def test_indivisible_batch_raises():
 
     with pytest.raises(ValueError):
         sharded_traverse_triangles(bvh, mesh, rays, dmesh)
+
+
+def test_sharded_render_step():
+    import jax
+
+    from nanort_tpu.parallel.mesh import ray_mesh, sharded_render_step
+
+    v, f = make_uv_sphere(10, 20)
+    mesh = TriangleMesh(vertices=v, faces=f)
+    bvh, _ = build_triangle_bvh(mesh)
+    rng = np.random.default_rng(2)
+    org = rng.uniform(-3, 3, (512, 3)).astype(np.float32)
+    d = -org + rng.uniform(-0.3, 0.3, (512, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(org, d.astype(np.float32))
+    dmesh = ray_mesh(8)
+    ao, n_hit, mean_ao = sharded_render_step(bvh, mesh, rays, dmesh)
+    ao = np.asarray(ao)
+    assert ao.shape == (512,)
+    assert 0 < int(n_hit) <= 512
+    assert 0.0 <= float(mean_ao) <= 1.0
+    # sphere is closed: every primary hit's hemisphere ray either escapes
+    # (ao=1, outside) or re-hits (ao=0); both occur
+    assert len(np.unique(ao)) >= 2
