@@ -328,8 +328,12 @@ def traverse_bvh8(
 ) -> Hits:
     """Trace rays against a VMEM-resident BVH8 scene (fp32).
 
-    Rays should arrive in a spatially coherent order — consecutive groups
-    of ``sub*128`` rays form one packet sharing traversal control flow.
+    Rays MUST arrive in a spatially coherent order — consecutive groups
+    of ``sub*128`` rays form one packet sharing traversal control flow
+    (use ``tile_image_rays`` for camera rays). Fully incoherent batches
+    make every packet visit the union of all its rays' paths — runtimes
+    blow up by orders of magnitude (long enough to trip the TPU watchdog);
+    route incoherent rays through traverse.wavefront instead.
     """
     if options.prim_ids_range != (0, 0x7FFFFFFF):
         raise NotImplementedError(

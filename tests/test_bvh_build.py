@@ -115,3 +115,21 @@ def test_stats_consistency():
     assert st2.num_leaf_nodes == stats.num_leaf_nodes
     assert st2.num_branch_nodes == stats.num_branch_nodes
     assert st2.max_tree_depth <= stats.max_tree_depth
+
+
+def test_dump_load_roundtrip_double():
+    # BVHAccel<double> serialization (64-byte records)
+    import jax.numpy as jnp
+
+    v, f = make_uv_sphere(8, 16)
+    mesh = TriangleMesh(
+        vertices=jnp.asarray(v, jnp.float64), faces=jnp.asarray(f)
+    )
+    bvh, _ = build_triangle_bvh(mesh)
+    assert np.asarray(bvh.bmin).dtype == np.float64
+    buf = io.BytesIO()
+    dump(bvh, buf)
+    buf.seek(0)
+    bvh2 = load(buf, real_dtype=np.float64)
+    for a, b in zip(bvh, bvh2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
