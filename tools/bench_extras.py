@@ -80,3 +80,18 @@ def run10():
 t0=time.perf_counter(); _, frac = run10(); print(f"[extra] 10M wavefront first call: {time.perf_counter()-t0:.0f}s, hit {frac:.3f}", flush=True)
 t0=time.perf_counter(); run10(); dt=time.perf_counter()-t0
 print(f"[extra] 10M-tri wavefront 512^2: {dt*1e3:.0f} ms -> {512*512/dt/1e6:.2f} Mrays/s", flush=True)
+
+# sorted incoherent rays through the packet kernel
+from nanort_tpu.traverse.ray_sort import traverse_bvh8_sorted
+R3 = 4*1024*1024
+rays_inc3 = jtu.tree_map(lambda x: jnp.asarray(np.asarray(x)[perm[:R3]]), rays)
+def bench_sorted(label, rr, reps=3):
+    def run():
+        h = traverse_bvh8_sorted(s8, rr, sub=16)
+        return float(h.t.min())
+    run()
+    ts = []
+    for _ in range(reps):
+        t0=time.perf_counter(); run(); ts.append(time.perf_counter()-t0)
+    print(f"[extra] {label}: {min(ts)*1e3:.0f} ms -> {R3/min(ts)/1e6:.2f} Mrays/s", flush=True)
+bench_sorted("incoherent 4M rays, SORTED -> packet kernel", rays_inc3)
