@@ -18,7 +18,7 @@ def main():
     size = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     spp = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     v, f, mids, mats = make_cornell_pt_scene()
-    scene = make_pt_scene(v, f, mids, mats)
+    scene = make_pt_scene(v, f, mids, mats, engine="pallas")
     cam = look_at(eye=(0, 0, 2.3), center=(0, 0, 0), width=size, height=size, fov=55)
     rays = pinhole_rays(cam)
     t0 = time.perf_counter()

@@ -31,8 +31,9 @@ Requires the binary build to use ``max_leaf_primitives <= 10``.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
+import jax
 import numpy as np
 
 from ..core.bvh import BVH
@@ -41,13 +42,31 @@ MAX_LEAF_TRIS = 10
 EMPTY_BIG = 3.0e38
 
 
-class BVH8Scene(NamedTuple):
-    nodes: np.ndarray  # (N8, 128) f32
+@dataclasses.dataclass
+class BVH8Scene:
+    """Pytree: array tables are children, sizes are static aux data (so
+    jitted callers can use them as shape/unroll parameters even when the
+    scene itself is a traced argument)."""
+
+    nodes: np.ndarray  # (N8+1, 128) f32 (includes the dummy park row)
     leafs: np.ndarray  # (M, 128) f32
     num_nodes: int
     num_leaf_rows: int
     depth: int  # BVH8 tree depth (stack sizing)
     max_leaf: int  # max triangles in any leaf row (kernel unroll bound)
+
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+jax.tree_util.register_pytree_node(
+    BVH8Scene,
+    lambda s: (
+        (s.nodes, s.leafs),
+        (s.num_nodes, s.num_leaf_rows, s.depth, s.max_leaf),
+    ),
+    lambda aux, ch: BVH8Scene(ch[0], ch[1], *aux),
+)
 
 
 def _surface_area(bmin, bmax):

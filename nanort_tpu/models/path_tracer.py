@@ -58,6 +58,10 @@ class PTScene(NamedTuple):
     material_ids: jnp.ndarray  # (F,)
     facevarying_normals: jnp.ndarray | None  # (F, 3, 3)
     light_faces: jnp.ndarray  # (L,) emissive face ids (host precomputed)
+    # optional BVH8 tables: when present, bounce traversals run through
+    # the Pallas packet kernel with Morton ray sorting (TPU fast path;
+    # the wavefront XLA engine is the portable default)
+    scene8: object | None = None
 
 
 def collect_light_faces(material_ids, materials: Materials) -> np.ndarray:
@@ -162,6 +166,10 @@ def _sample_light(scene: PTScene, key, x):
 
 def _trace(scene: PTScene, org, d, min_t, max_t, tile):
     rays = Rays(org=org, dir=d, min_t=min_t, max_t=max_t)
+    if scene.scene8 is not None:
+        from ..traverse.ray_sort import traverse_bvh8_sorted
+
+        return traverse_bvh8_sorted(scene.scene8, rays)
     return traverse_wavefront(scene.packed, rays, tile=tile)
 
 
@@ -354,9 +362,12 @@ def render_path_traced(
 
 
 def make_pt_scene(
-    vertices, faces, material_ids, materials: dict, facevarying_normals=None
+    vertices, faces, material_ids, materials: dict, facevarying_normals=None,
+    engine: str = "wavefront",
 ) -> PTScene:
-    """Assemble a PTScene from host arrays (builds BVH + packed tables)."""
+    """Assemble a PTScene from host arrays (builds BVH + packed tables).
+    ``engine="pallas"`` additionally builds BVH8 tables so every bounce
+    traversal runs through the packet kernel with ray sorting (TPU)."""
     import numpy as np
 
     from .. import build_triangle_bvh
@@ -367,8 +378,21 @@ def make_pt_scene(
         vertices=jnp.asarray(vertices, jnp.float32),
         faces=jnp.asarray(faces, jnp.int32),
     )
-    bvh, _ = build_triangle_bvh(mesh)
+    if engine == "pallas":
+        bvh, _ = build_triangle_bvh(
+            mesh, BVHBuildOptions(min_leaf_primitives=8, max_leaf_primitives=8)
+        )
+    else:
+        bvh, _ = build_triangle_bvh(mesh)
     packed = pack_scene(bvh, np.asarray(vertices), np.asarray(faces))
+    scene8 = None
+    if engine == "pallas":
+        from ..build.bvh8 import collapse_bvh8
+
+        s8 = collapse_bvh8(bvh, np.asarray(vertices), np.asarray(faces))
+        scene8 = s8._replace(
+            nodes=jnp.asarray(s8.nodes), leafs=jnp.asarray(s8.leafs)
+        )
     mats = Materials(
         diffuse=jnp.asarray(materials["diffuse"], jnp.float32),
         emission=jnp.asarray(materials["emission"], jnp.float32),
@@ -394,4 +418,5 @@ def make_pt_scene(
             else None
         ),
         light_faces=jnp.asarray(lf),
+        scene8=scene8,
     )
