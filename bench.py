@@ -87,8 +87,9 @@ def main():
             nodes=jax.device_put(jnp.asarray(s8.nodes)),
             leafs=jax.device_put(jnp.asarray(s8.leafs)),
         )
-        tile_w = min(8 * sub, res)
-        rays_t, _ = tile_image_rays(rays, min(32, res), tile_w)
+        tile_h = int(os.environ.get("NANORT_BENCH_TILE_H", 32))
+        tile_w = min((8 * sub * 32) // tile_h, res)
+        rays_t, _ = tile_image_rays(rays, min(tile_h, res), tile_w)
 
         def run():
             h = traverse_bvh8(s8, rays_t, sub=sub)
