@@ -87,7 +87,7 @@ def main():
             nodes=jax.device_put(jnp.asarray(s8.nodes)),
             leafs=jax.device_put(jnp.asarray(s8.leafs)),
         )
-        tile_h = int(os.environ.get("NANORT_BENCH_TILE_H", 32))
+        tile_h = int(os.environ.get("NANORT_BENCH_TILE_H", 64))  # square pixel tiles measured ~10% faster than 32-row strips
         tile_w = min((8 * sub * 32) // tile_h, res)
         rays_t, _ = tile_image_rays(rays, min(tile_h, res), tile_w)
 
