@@ -64,9 +64,17 @@ def render_aovs(
     attrs: MeshAttributes | None = None,
     options: BVHTraceOptions = BVHTraceOptions(),
     max_leaf: int = 4,
+    scene8=None,
 ):
-    """One primary-visibility pass returning the AOV dict."""
-    hits = traverse_triangles(bvh, mesh, rays, options, max_leaf=max_leaf)
+    """One primary-visibility pass returning the AOV dict. Pass ``scene8``
+    (a device-resident build.bvh8.BVH8Scene) to run traversals through
+    the Pallas packet kernel with ray sorting — the TPU fast path."""
+    if scene8 is not None:
+        from ..traverse.ray_sort import traverse_bvh8_sorted
+
+        hits = traverse_bvh8_sorted(scene8, rays, options)
+    else:
+        hits = traverse_triangles(bvh, mesh, rays, options, max_leaf=max_leaf)
     hit = hits.hit
     n = shading_normals(mesh, attrs, hits)
     # flip toward the ray like the normal-shading example output
@@ -122,12 +130,14 @@ def render_ao(
     ao_radius: float = 1e30,
     options: BVHTraceOptions = BVHTraceOptions(),
     max_leaf: int = 4,
+    scene8=None,
 ):
     """Ambient occlusion: fraction of unoccluded cosine-hemisphere
     samples from each primary hit point. Secondary rays skip the hit
     primitive instead of epsilon-offsetting alone (skip_prim_id,
-    nanort.h:611-614)."""
-    aovs, hits = render_aovs(bvh, mesh, rays, None, options, max_leaf)
+    nanort.h:611-614). ``scene8`` routes all traversals through the
+    sorted packet kernel."""
+    aovs, hits = render_aovs(bvh, mesh, rays, None, options, max_leaf, scene8)
     hit = hits.hit
     n = aovs["normal"]
     # face the normal toward the incoming ray
@@ -148,10 +158,17 @@ def render_ao(
             + d_local[..., 2:3] * n
         )
         sec = make_rays(p + eps * n, d, min_t=0.0, max_t=ao_radius)
-        occ = traverse_triangles(
-            bvh, mesh, sec, options, skip_prim_id=hits.prim_id,
-            max_leaf=max_leaf,
-        )
+        if scene8 is not None:
+            from ..traverse.ray_sort import traverse_bvh8_sorted
+
+            occ = traverse_bvh8_sorted(
+                scene8, sec, options, skip_prim_id=hits.prim_id
+            )
+        else:
+            occ = traverse_triangles(
+                bvh, mesh, sec, options, skip_prim_id=hits.prim_id,
+                max_leaf=max_leaf,
+            )
         return acc + jnp.where(hit & ~occ.hit, 1.0, 0.0)
 
     open_frac = jax.lax.fori_loop(
