@@ -73,9 +73,11 @@ def render_pbr(
     options: BVHTraceOptions = BVHTraceOptions(),
     max_leaf: int = 4,
     shadows: bool = True,
+    scene8=None,
 ):
-    """Primary visibility + one directional light with PBR shading."""
-    aovs, hits = render_aovs(bvh, mesh, rays, attrs, options, max_leaf)
+    """Primary visibility + one directional light with PBR shading.
+    ``scene8`` routes traversals through the sorted packet kernel."""
+    aovs, hits = render_aovs(bvh, mesh, rays, attrs, options, max_leaf, scene8)
     hit = hits.hit
     n = aovs["normal"]
     n = jnp.where(jnp.sum(n * rays.dir, -1, keepdims=True) > 0, -n, n)
@@ -109,10 +111,17 @@ def render_pbr(
             min_t=jnp.zeros(hit.shape, jnp.float32),
             max_t=jnp.where(hit, 1e30, 0.0),
         )
-        occ = traverse_triangles(
-            bvh, mesh, sh_rays, options,
-            skip_prim_id=hits.prim_id, max_leaf=max_leaf,
-        )
+        if scene8 is not None:
+            from ..traverse.ray_sort import traverse_bvh8_sorted
+
+            occ = traverse_bvh8_sorted(
+                scene8, sh_rays, options, skip_prim_id=hits.prim_id
+            )
+        else:
+            occ = traverse_triangles(
+                bvh, mesh, sh_rays, options,
+                skip_prim_id=hits.prim_id, max_leaf=max_leaf,
+            )
         color = jnp.where(occ.hit[..., None], 0.0, color)
 
     color = color + jnp.asarray(ambient, jnp.float32) * base
