@@ -17,8 +17,8 @@ Env knobs:
   NANORT_BENCH_RES    (default 8192 -> a 67M-ray megabatch; packet
                        traversal efficiency grows with ray density, and
                        megabatching is the intended production usage:
-                       1024^2 -> 7, 2048^2 -> 20, 4096^2 -> 36,
-                       8192^2 -> 58 Mrays/s measured on v5e)
+                       8192^2 -> 95 Mrays/s measured on v5e with
+                       ordered near-first traversal)
   NANORT_BENCH_REPS   (default 5)
   NANORT_BENCH_LEAF   (default 8)
   NANORT_BENCH_SUB    (default 16 -> 2048-ray packets)

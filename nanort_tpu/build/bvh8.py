@@ -14,6 +14,11 @@ sublane-dynamic row read per step instead of 2-3 dependent pointer chases
                         >= 0  -> internal: BVH8 row index of the child
                         <  0  -> leaf: -(leaf_row + 1) into the leaf table
   lane  72 + c:       child c leaf triangle count (0 for internal/empty)
+  lane  80:           traversal-order axis (0/1/2): children are stored
+                      sorted near-to-far along this axis so the kernel can
+                      pick a near-first pop order from the packet's ray
+                      direction sign (the reference's per-node axis order,
+                      nanort.h:2507-2515, packet-granular here)
   float-int encoding is exact to 2^24: scenes are capped at 16.7M
   primitives per BVH8 (the binary BVH keeps the reference's 2G cap)
   empty slots carry an inverted box (never hit) and count 0.
@@ -144,6 +149,12 @@ def collapse_bvh8(bvh: BVH, vertices, faces) -> BVH8Scene:
         if parent >= 0:
             rows[parent][64 + slot] = np.float32(my)
         children = cut8(broot)
+        if len(children) > 1:
+            cent = 0.5 * (bmin[children] + bmax[children])
+            axis = int(np.argmax(cent.max(0) - cent.min(0)))
+            children = [children[i] for i in
+                        np.argsort(cent[:, axis], kind="stable")]
+            row[80] = np.float32(axis)
         for c, b in enumerate(children):
             row[8 * c : 8 * c + 3] = bmin[b]
             row[8 * c + 3 : 8 * c + 6] = bmax[b]

@@ -22,8 +22,13 @@ Design (see build/bvh8.py for the data layout):
 Semantics match the reference kernel (nanort.h:2487-2556 + 993-1229):
 robust 4-ulp slab test, watertight Moller-Trumbore with optional
 double-word exact edge fallback, tt<=t replace ordering (ties resolve by
-traversal order, which is child-slot order here rather than the
-reference's per-ray near-first order — legal per the equal-t contract).
+traversal order, which is packet-granular near-first order here rather
+than the reference's per-ray order — legal per the equal-t contract).
+Children are visited near-first along each node's order axis (the build
+sorts them; the kernel picks pop order from the packet's direction sign),
+and each hit leaf drains immediately so the packet's t bound tightens
+before the next node pop — together worth ~1.5x over unordered traversal
+with deferred leaf batching.
 """
 
 from __future__ import annotations
@@ -103,6 +108,11 @@ def _kernel_body(
     sz = 1.0 / dkz
 
     stack_ref[0] = 0
+
+    # packet-representative direction signs for near-first child ordering
+    # (rays arrive coherence-sorted, so ray 0's octant stands for the
+    # packet; a wrong guess only costs order, never correctness)
+    neg_ax = (dx_ref[0, 0] < 0, dy_ref[0, 0] < 0, dz_ref[0, 0] < 0)
 
     if exact_edge_fallback:
         C = f32(4097.0)
@@ -186,7 +196,7 @@ def _kernel_body(
     # scalar while conditions. Phase B drains the leaf queue with the
     # t/u/v/pid accumulators carried in vector registers.
     # ------------------------------------------------------------------
-    LQ_CAP = 24
+    LQ_CAP = 1
 
     def node_step(c):
         sp, lq, t_b = c
@@ -230,10 +240,24 @@ def _kernel_body(
             sh *= 2
         mask = m[0, 0]
 
-        for cc in range(8):
+        # near-first pop order: children are build-sorted near-to-far
+        # along the node's order axis (bvh8.py lane 80); LIFO stack means
+        # push far-first, so iterate descending for positive direction
+        # and ascending for negative.
+        axis_f = row[0, 80]
+        neg = jnp.where(
+            axis_f == 0.0, neg_ax[0],
+            jnp.where(axis_f == 1.0, neg_ax[1], neg_ax[2]),
+        )
+        for j in range(8):
+            cc = jnp.where(neg, j, 7 - j)
             bit = (mask >> cc) & 1
-            meta = row[0, 64 + cc].astype(jnp.int32)
-            cnt = row[0, 72 + cc].astype(jnp.int32)
+            meta = jnp.where(neg, row[0, 64 + j], row[0, 71 - j]).astype(
+                jnp.int32
+            )
+            cnt = jnp.where(neg, row[0, 72 + j], row[0, 79 - j]).astype(
+                jnp.int32
+            )
             internal = (meta >= 0).astype(jnp.int32)
             # unconditional writes; pointers advance only when the child
             # is a hit of the matching kind
@@ -308,7 +332,7 @@ def _make_kernel(
         ),
         scratch_shapes=[
             pltpu.SMEM((stack_size,), jnp.int32),
-            pltpu.SMEM((64,), jnp.int32),  # leaf queue (cap 24 + 8 slack)
+            pltpu.SMEM((64,), jnp.int32),  # leaf queue (cap + 8 slack)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_mb * 1024 * 1024,
