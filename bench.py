@@ -17,11 +17,11 @@ Env knobs:
   NANORT_BENCH_RES    (default 8192 -> a 67M-ray megabatch; packet
                        traversal efficiency grows with ray density, and
                        megabatching is the intended production usage:
-                       8192^2 -> 95 Mrays/s measured on v5e with
+                       8192^2 -> 109 Mrays/s measured on v5e with
                        ordered near-first traversal)
   NANORT_BENCH_REPS   (default 5)
   NANORT_BENCH_LEAF   (default 8)
-  NANORT_BENCH_SUB    (default 16 -> 2048-ray packets)
+  NANORT_BENCH_SUB    (default 32 -> 4096-ray packets)
   NANORT_BENCH_PATH   ("pallas" | "wavefront", default pallas)
 """
 
@@ -45,7 +45,7 @@ def main():
     res = int(os.environ.get("NANORT_BENCH_RES", 8192))
     reps = int(os.environ.get("NANORT_BENCH_REPS", 3))
     leaf = int(os.environ.get("NANORT_BENCH_LEAF", 8))
-    sub = int(os.environ.get("NANORT_BENCH_SUB", 16))
+    sub = int(os.environ.get("NANORT_BENCH_SUB", 32))
     path = os.environ.get("NANORT_BENCH_PATH", "pallas")
 
     from nanort_tpu import BVHBuildOptions, build_triangle_bvh
@@ -87,7 +87,7 @@ def main():
             nodes=jax.device_put(jnp.asarray(s8.nodes)),
             leafs=jax.device_put(jnp.asarray(s8.leafs)),
         )
-        tile_h = int(os.environ.get("NANORT_BENCH_TILE_H", 64))  # square pixel tiles measured ~10% faster than 32-row strips
+        tile_h = int(os.environ.get("NANORT_BENCH_TILE_H", 128))  # 128x64 pixel tiles: best measured packet footprint
         tile_w = min((8 * sub * 32) // tile_h, res)
         rays_t, _ = tile_image_rays(rays, min(tile_h, res), tile_w)
 

@@ -347,7 +347,7 @@ def traverse_bvh8(
     options: BVHTraceOptions = BVHTraceOptions(),
     skip_prim_id=None,
     sub: int = DEF_SUB,
-    vmem_mb: int = 110,
+    vmem_mb: int = 116,
     multi_pop: int = 4,
 ) -> Hits:
     """Trace rays against a VMEM-resident BVH8 scene (fp32).
