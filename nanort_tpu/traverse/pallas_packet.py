@@ -46,7 +46,10 @@ from ..core.options import BVHTraceOptions, INVALID_PRIM_ID
 from ..core.ray import Hits, Rays
 
 LANES = 128
-DEF_SUB = 8  # sublanes per packet -> 8*128 = 1024 rays
+DEF_SUB = 32  # sublanes per packet -> 32*128 = 4096 rays (best measured
+# for both coherent megabatches and sorted secondary bounces: big packets
+# amortize the ~800ns per-node scalar sync now that ordered traversal
+# keeps the union footprint small)
 
 
 
