@@ -162,7 +162,8 @@ def render_ao(
             from ..traverse.ray_sort import traverse_bvh8_sorted
 
             occ = traverse_bvh8_sorted(
-                scene8, sec, options, skip_prim_id=hits.prim_id
+                scene8, sec, options, skip_prim_id=hits.prim_id,
+                occlusion=True,
             )
         else:
             occ = traverse_triangles(

@@ -164,12 +164,12 @@ def _sample_light(scene: PTScene, key, x):
     return dirn, dist, pdf, radiance
 
 
-def _trace(scene: PTScene, org, d, min_t, max_t, tile):
+def _trace(scene: PTScene, org, d, min_t, max_t, tile, occlusion=False):
     rays = Rays(org=org, dir=d, min_t=min_t, max_t=max_t)
     if scene.scene8 is not None:
         from ..traverse.ray_sort import traverse_bvh8_sorted
 
-        return traverse_bvh8_sorted(scene.scene8, rays)
+        return traverse_bvh8_sorted(scene.scene8, rays, occlusion=occlusion)
     return traverse_wavefront(scene.packed, rays, tile=tile)
 
 
@@ -290,6 +290,7 @@ def trace_paths(
             jnp.full((R,), ray_eps, f32),
             jnp.where(nee_active, shadow_max, f32(0.0)),
             tile,
+            occlusion=True,
         )
         visible = ~sh.hit
         cos_t = jnp.abs(jnp.sum(ldir * norm, -1))

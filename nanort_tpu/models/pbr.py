@@ -115,7 +115,8 @@ def render_pbr(
             from ..traverse.ray_sort import traverse_bvh8_sorted
 
             occ = traverse_bvh8_sorted(
-                scene8, sh_rays, options, skip_prim_id=hits.prim_id
+                scene8, sh_rays, options, skip_prim_id=hits.prim_id,
+                occlusion=True,
             )
         else:
             occ = traverse_triangles(

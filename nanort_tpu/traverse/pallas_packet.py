@@ -71,6 +71,7 @@ def _kernel_body(
     stack_size: int,
     leaf_unroll: int,
     multi_pop: int,
+    occlusion: bool,
 ):
     f32 = jnp.float32
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -185,6 +186,12 @@ def _kernel_body(
             u_b = jnp.where(valid, V * rcp, u_b)
             v_b = jnp.where(valid, W * rcp, v_b)
             p_b = jnp.where(valid, pid_t, p_b)
+            if occlusion:
+                # any-hit: a hit ray leaves the traversal — its t bound
+                # drops below every slab interval, so it stops voting in
+                # node masks and the packet terminates as soon as all
+                # rays are occluded or exhausted
+                t_b = jnp.where(valid, f32(-3.0e38), t_b)
         return t_b, u_b, v_b, p_b
 
     MM = f32(1.00000024)
@@ -310,6 +317,7 @@ def _make_kernel(
     vmem_mb: int,
     leaf_unroll: int,
     multi_pop: int,
+    occlusion: bool,
 ):
     body = functools.partial(
         _kernel_body,
@@ -319,6 +327,7 @@ def _make_kernel(
         stack_size=stack_size,
         leaf_unroll=leaf_unroll,
         multi_pop=multi_pop,
+        occlusion=occlusion,
     )
     ray_spec = pl.BlockSpec((None, sub, LANES), lambda i: (i, 0, 0))
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -352,8 +361,16 @@ def traverse_bvh8(
     sub: int = DEF_SUB,
     vmem_mb: int = 116,
     multi_pop: int = 4,
+    occlusion: bool = False,
 ) -> Hits:
     """Trace rays against a VMEM-resident BVH8 scene (fp32).
+
+    ``occlusion=True`` runs the any-hit mode (Embree's rtcOccluded, the
+    right engine for shadow/AO rays): each ray stops traversing at its
+    first accepted hit and the packet terminates once every ray is
+    occluded or exhausted. The returned ``Hits.hit``/``prim_id``/u/v
+    identify *an* intersection, and ``t`` is 0 for occluded rays — not
+    the closest distance.
 
     Rays MUST arrive in a spatially coherent order — consecutive groups
     of ``sub*128`` rays form one packet sharing traversal control flow
@@ -414,6 +431,7 @@ def traverse_bvh8(
         vmem_mb,
         scene.max_leaf,
         multi_pop,
+        occlusion,
     )
     t, u, v, pid = kern(
         jnp.asarray(scene.nodes),
@@ -427,7 +445,11 @@ def traverse_bvh8(
     v = unshape(v)
     pid = unshape(pid).astype(jnp.uint32)
     maxt_o = rays.max_t
-    hit = t < maxt_o
+    if occlusion:
+        hit = t < jnp.float32(-1.0e38)  # the any-hit sentinel
+        t = jnp.where(hit, jnp.zeros((), jnp.float32), maxt_o)
+    else:
+        hit = t < maxt_o
     zero = jnp.zeros((), jnp.float32)
     return Hits(
         t=t,
