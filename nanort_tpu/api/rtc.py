@@ -92,8 +92,17 @@ class RTCScene:
         self._committed = False
 
     # -- commit & query --
-    def commit(self, options: BVHBuildOptions = BVHBuildOptions()):
-        """rtcCommit -> Scene::Commit (nanort-embree.cc:688-693)."""
+    def commit(
+        self,
+        options: BVHBuildOptions = BVHBuildOptions(),
+        fast: bool | None = None,
+    ):
+        """rtcCommit -> Scene::Commit (nanort-embree.cc:688-693).
+
+        ``fast`` additionally builds the BVH8 packet-kernel tables for
+        single-geometry identity-transform scenes so ``occluded`` runs
+        the any-hit Pallas kernel. Default (None): enabled on TPU,
+        disabled on CPU (the packet kernel is TPU-only)."""
         if not self._geoms:
             raise ValueError("rtcCommit on empty scene")
         sg = _SG()
@@ -107,6 +116,32 @@ class RTCScene:
             self._node_of[len(self._node_of)] = gid
         sg.commit(options)
         self._sg = sg
+        self._scene8 = None
+        if fast is None:
+            import jax
+
+            fast = jax.default_backend() != "cpu"
+        if fast and len(self._geoms) == 1:
+            (g,) = self._geoms.values()
+            if np.allclose(g.xform, mat.identity()) and len(g.indices) <= (
+                1 << 24
+            ):
+                from .. import build_triangle_bvh
+                from ..build.bvh8 import collapse_bvh8
+
+                opt8 = BVHBuildOptions(
+                    min_leaf_primitives=8, max_leaf_primitives=8
+                )
+                bvh8_src, _ = build_triangle_bvh(
+                    TriangleMesh(
+                        vertices=jnp.asarray(g.vertices),
+                        faces=jnp.asarray(g.indices),
+                    ),
+                    opt8,
+                )
+                self._scene8 = collapse_bvh8(
+                    bvh8_src, g.vertices, g.indices
+                )
         self._committed = True
 
     def bounds(self):
@@ -132,8 +167,16 @@ class RTCScene:
         return hits._replace(node_id=geom)
 
     def occluded(self, rays: Rays) -> jnp.ndarray:
-        """rtcOccluded: boolean any-hit per ray."""
+        """rtcOccluded: boolean any-hit per ray. Uses the sorted
+        packet kernel's occlusion mode when commit() built the fast
+        tables (rays terminate at their first hit)."""
         self._check()
+        if self._scene8 is not None:
+            from ..traverse.ray_sort import traverse_bvh8_sorted
+
+            return traverse_bvh8_sorted(
+                self._scene8, rays, occlusion=True
+            ).hit
         return self._sg.traverse(rays).hit
 
     def _check(self):

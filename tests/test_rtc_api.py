@@ -82,3 +82,21 @@ def test_set_transform():
     )
     hits = scene.intersect(rays)
     assert bool(hits.hit[0]) and not bool(hits.hit[1])
+
+
+def test_fast_commit_gating():
+    # on the CPU test backend commit() must NOT build packet tables
+    # (the Pallas kernel is TPU-only); explicit fast=False likewise
+    import numpy as np
+    from nanort_tpu.io.procedural import make_uv_sphere
+
+    v, f = make_uv_sphere(6, 12)
+    dev = new_device()
+    sc = dev.new_scene()
+    gid = sc.new_triangle_mesh(len(f), len(v))
+    sc.map_buffer(gid, BufferType.VERTEX)[:] = v
+    sc.map_buffer(gid, BufferType.INDEX)[:] = f
+    sc.commit()
+    assert sc._scene8 is None
+    sc.commit(fast=False)
+    assert sc._scene8 is None
