@@ -72,6 +72,7 @@ def _kernel_body(
     leaf_unroll: int,
     multi_pop: int,
     occlusion: bool,
+    debug_counts: bool = False,
 ):
     f32 = jnp.float32
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
@@ -208,8 +209,14 @@ def _kernel_body(
     # ------------------------------------------------------------------
     LQ_CAP = 1
 
+    if debug_counts:
+        leafq_ref[32] = 0  # node pops (slack SMEM slots as counters)
+        leafq_ref[33] = 0  # leaf drains
+
     def node_step(c):
         sp, lq, t_b = c
+        if debug_counts:
+            leafq_ref[32] = leafq_ref[32] + 1
         sp = sp - 1
         idx = stack_ref[sp]
         row = nodes_ref[pl.ds(idx, 1), :]  # (1, 128)
@@ -278,6 +285,8 @@ def _kernel_body(
         return sp, lq, t_b
 
     def drain_body(q, carry):
+        if debug_counts:
+            leafq_ref[33] = leafq_ref[33] + 1
         packed = leafq_ref[q]
         lrow = leafs_ref[pl.ds(packed >> 4, 1), :]
         return leaf_test(lrow, packed & 15, carry)
@@ -301,8 +310,13 @@ def _kernel_body(
          jnp.full(max_t.shape, -1, jnp.int32)),
     )
     t_out[:] = t_b
-    u_out[:] = u_b
-    v_out[:] = v_b
+    if debug_counts:
+        # debug mode: u/v carry the per-packet visit counters instead
+        u_out[:] = jnp.full(u_b.shape, leafq_ref[32].astype(f32))
+        v_out[:] = jnp.full(v_b.shape, leafq_ref[33].astype(f32))
+    else:
+        u_out[:] = u_b
+        v_out[:] = v_b
     pid_out[:] = p_b
 
 
@@ -318,6 +332,7 @@ def _make_kernel(
     leaf_unroll: int,
     multi_pop: int,
     occlusion: bool,
+    debug_counts: bool = False,
 ):
     body = functools.partial(
         _kernel_body,
@@ -328,6 +343,7 @@ def _make_kernel(
         leaf_unroll=leaf_unroll,
         multi_pop=multi_pop,
         occlusion=occlusion,
+        debug_counts=debug_counts,
     )
     ray_spec = pl.BlockSpec((None, sub, LANES), lambda i: (i, 0, 0))
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -362,6 +378,7 @@ def traverse_bvh8(
     vmem_mb: int = 116,
     multi_pop: int = 4,
     occlusion: bool = False,
+    debug_counts: bool = False,
 ) -> Hits:
     """Trace rays against a VMEM-resident BVH8 scene (fp32).
 
@@ -432,6 +449,7 @@ def traverse_bvh8(
         scene.max_leaf,
         multi_pop,
         occlusion,
+        debug_counts,
     )
     t, u, v, pid = kern(
         jnp.asarray(scene.nodes),
@@ -445,6 +463,9 @@ def traverse_bvh8(
     v = unshape(v)
     pid = unshape(pid).astype(jnp.uint32)
     maxt_o = rays.max_t
+    if debug_counts:
+        # u/v are the raw per-packet (node pops, leaf drains) counters
+        return Hits(t=t, u=u, v=v, prim_id=pid)
     if occlusion:
         hit = t < jnp.float32(-1.0e38)  # the any-hit sentinel
         t = jnp.where(hit, jnp.zeros((), jnp.float32), maxt_o)
