@@ -62,9 +62,7 @@ def _kernel_body(
     dx_ref, dy_ref, dz_ref,
     mint_ref, maxt_ref,
     skip_ref,
-    t_out, u_out, v_out, pid_out,
-    stack_ref, leafq_ref,
-    *,
+    *out_refs,
     cull_back_face: bool,
     exact_edge_fallback: bool,
     use_skip: bool,
@@ -73,7 +71,12 @@ def _kernel_body(
     multi_pop: int,
     occlusion: bool,
     debug_counts: bool = False,
+    flag_zero_edges: bool = False,
 ):
+    if flag_zero_edges:
+        t_out, u_out, v_out, pid_out, z_out, stack_ref, leafq_ref = out_refs
+    else:
+        t_out, u_out, v_out, pid_out, stack_ref, leafq_ref = out_refs
     f32 = jnp.float32
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -141,7 +144,10 @@ def _kernel_body(
     def leaf_test(lrow, cnt, carry):
         # accumulators live in vector registers across the whole drain
         # loop (VMEM read/write round trips per leaf measurably stall)
-        t_b, u_b, v_b, p_b = carry
+        if flag_zero_edges:
+            t_b, u_b, v_b, p_b, z_b = carry
+        else:
+            t_b, u_b, v_b, p_b = carry
         for ti in range(leaf_unroll):
             p0x, p0y, p0z = lrow[0, 9 * ti], lrow[0, 9 * ti + 1], lrow[0, 9 * ti + 2]
             p1x, p1y, p1z = lrow[0, 9 * ti + 3], lrow[0, 9 * ti + 4], lrow[0, 9 * ti + 5]
@@ -164,6 +170,12 @@ def _kernel_body(
             U = Cx * By - Cy * Bx
             V = Ax * Cy - Ay * Cx
             W = Bx * Ay - By * Ax
+            if flag_zero_edges:
+                # rays whose result COULD differ under the exact edge
+                # recompute: any in-range tri with a zero edge function
+                z_b = z_b | (
+                    ((U == 0.0) | (V == 0.0) | (W == 0.0)) & (ti < cnt)
+                ).astype(jnp.int32)
             if exact_edge_fallback:
                 zmask = (U == 0.0) | (V == 0.0) | (W == 0.0)
                 U = jnp.where(zmask, prod_diff(Cx, By, Cy, Bx), U)
@@ -193,6 +205,8 @@ def _kernel_body(
                 # node masks and the packet terminates as soon as all
                 # rays are occluded or exhausted
                 t_b = jnp.where(valid, f32(-3.0e38), t_b)
+        if flag_zero_edges:
+            return t_b, u_b, v_b, p_b, z_b
         return t_b, u_b, v_b, p_b
 
     MM = f32(1.00000024)
@@ -292,23 +306,26 @@ def _kernel_body(
         return leaf_test(lrow, packed & 15, carry)
 
     def outer(state):
-        sp, t_b, u_b, v_b, p_b = state
+        sp = state[0]
+        acc = state[1:]
         sp, lq, _ = jax.lax.while_loop(
             lambda c: (c[0] > 0) & (c[1] < LQ_CAP),
             node_step,
-            (sp, jnp.int32(0), t_b),
+            (sp, jnp.int32(0), acc[0]),
         )
-        t_b, u_b, v_b, p_b = jax.lax.fori_loop(
-            0, lq, drain_body, (t_b, u_b, v_b, p_b)
-        )
-        return sp, t_b, u_b, v_b, p_b
+        acc = jax.lax.fori_loop(0, lq, drain_body, acc)
+        return (sp,) + tuple(acc)
 
-    _, t_b, u_b, v_b, p_b = jax.lax.while_loop(
-        lambda st: st[0] > 0,
-        outer,
-        (jnp.int32(1), max_t, jnp.zeros_like(max_t), jnp.zeros_like(max_t),
-         jnp.full(max_t.shape, -1, jnp.int32)),
+    init = [max_t, jnp.zeros_like(max_t), jnp.zeros_like(max_t),
+            jnp.full(max_t.shape, -1, jnp.int32)]
+    if flag_zero_edges:
+        init.append(jnp.zeros(max_t.shape, jnp.int32))
+    fin = jax.lax.while_loop(
+        lambda st: st[0] > 0, outer, (jnp.int32(1), *init)
     )
+    t_b, u_b, v_b, p_b = fin[1:5]
+    if flag_zero_edges:
+        z_out[:] = fin[5]
     t_out[:] = t_b
     if debug_counts:
         # debug mode: u/v carry the per-packet visit counters instead
@@ -333,6 +350,7 @@ def _make_kernel(
     multi_pop: int,
     occlusion: bool,
     debug_counts: bool = False,
+    flag_zero_edges: bool = False,
 ):
     body = functools.partial(
         _kernel_body,
@@ -344,19 +362,21 @@ def _make_kernel(
         multi_pop=multi_pop,
         occlusion=occlusion,
         debug_counts=debug_counts,
+        flag_zero_edges=flag_zero_edges,
     )
     ray_spec = pl.BlockSpec((None, sub, LANES), lambda i: (i, 0, 0))
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    n_out = 5 if flag_zero_edges else 4
+    out_dtypes = [jnp.float32, jnp.float32, jnp.float32, jnp.int32,
+                  jnp.int32][:n_out]
     grid_call = pl.pallas_call(
         body,
         grid=(n_packets,),
         in_specs=[full, full] + [ray_spec] * 9,
-        out_specs=(ray_spec, ray_spec, ray_spec, ray_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_packets, sub, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_packets, sub, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_packets, sub, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_packets, sub, LANES), jnp.int32),
+        out_specs=(ray_spec,) * n_out,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_packets, sub, LANES), d)
+            for d in out_dtypes
         ),
         scratch_shapes=[
             pltpu.SMEM((stack_size,), jnp.int32),
@@ -379,6 +399,7 @@ def traverse_bvh8(
     multi_pop: int = 4,
     occlusion: bool = False,
     debug_counts: bool = False,
+    _flag_zero_edges: bool = False,
 ) -> Hits:
     """Trace rays against a VMEM-resident BVH8 scene (fp32).
 
@@ -450,12 +471,14 @@ def traverse_bvh8(
         multi_pop,
         occlusion,
         debug_counts,
+        _flag_zero_edges,
     )
-    t, u, v, pid = kern(
+    outs = kern(
         jnp.asarray(scene.nodes),
         jnp.asarray(scene.leafs),
         ox, oy, oz, dx, dy, dz, mint, maxt, skip,
     )
+    t, u, v, pid = outs[:4]
 
     unshape = lambda x: x.reshape(-1)[:R].reshape(bs)
     t = unshape(t)
@@ -472,12 +495,88 @@ def traverse_bvh8(
     else:
         hit = t < maxt_o
     zero = jnp.zeros((), jnp.float32)
-    return Hits(
+    hits = Hits(
         t=t,
         u=jnp.where(hit, u, zero),
         v=jnp.where(hit, v, zero),
         prim_id=jnp.where(hit, pid, jnp.uint32(INVALID_PRIM_ID)),
     )
+    if _flag_zero_edges:
+        return hits, unshape(outs[4])
+    return hits
+
+
+def traverse_bvh8_exact(
+    scene: BVH8Scene,
+    rays: Rays,
+    options: BVHTraceOptions = BVHTraceOptions(),
+    skip_prim_id=None,
+    sub: int = DEF_SUB,
+    vmem_mb: int = 116,
+) -> Hits:
+    """Two-pass exact-edge traversal, same results as
+    ``exact_edge_fallback=True`` at close to fallback-off speed.
+
+    The main pass runs with the Dekker double-word edge recompute OFF
+    (~17% faster leaf tests) while flagging every ray that tested an
+    in-range triangle with a zero edge function — exactly the rays whose
+    hit record COULD differ under the exact recompute. Only flagged rays
+    (typically a vanishing fraction) retrace through the exact kernel
+    and overwrite their records. Requires host sync between passes, so
+    call it OUTSIDE jit (bench/driver loops), not from jitted renderers.
+    Matches nanort.h:1093-1107 semantics end to end.
+
+    Measured on the tunneled v5e (8192^2, 1M tris): pass 1 runs 11%
+    faster than the single-pass exact kernel, but the gather/merge
+    dispatch overhead through the tunnel currently outweighs it
+    (89.5 vs 112.7 Mrays/s end to end) — prefer plain traverse_bvh8
+    there; revisit on directly-attached hardware.
+    """
+    import dataclasses
+
+    opt_fast = dataclasses.replace(options, exact_edge_fallback=False)
+    hits, zflag = traverse_bvh8(
+        scene, rays, opt_fast, skip_prim_id, sub, vmem_mb,
+        _flag_zero_edges=True,
+    )
+    # reduce to PER-PACKET flags on device: per-ray flags are 4 bytes/ray
+    # (a 268 MB readback for a 67M-ray megabatch — measured 8x slower than
+    # the traversal itself through the tunneled backend); packet flags are
+    # n_packets ints, and retracing whole packets keeps pass 2 coherent
+    packet = sub * LANES
+    zf = zflag.reshape(-1)
+    R = zf.shape[0]
+    n_packets = -(-R // packet)
+    zf = jnp.pad(zf, (0, n_packets * packet - R))
+    pkt_flag = np.asarray(jnp.max(zf.reshape(n_packets, packet), axis=1))
+    pidx = np.nonzero(pkt_flag)[0]
+    if pidx.size == 0:
+        return hits
+    opt_exact = dataclasses.replace(options, exact_edge_fallback=True)
+    if pidx.size > max(1, n_packets // 8):
+        # degenerate scene (e.g. axis-aligned grids hit edge-on): the
+        # flagged set is too large to retrace cheaply — run full exact
+        return traverse_bvh8(scene, rays, opt_exact, skip_prim_id, sub,
+                             vmem_mb)
+    idx = jnp.asarray(
+        (pidx[:, None] * packet + np.arange(packet)[None, :]).reshape(-1)
+    )
+    idx = jnp.minimum(idx, R - 1)  # tail packet clamps into range
+    bs = rays.batch_shape
+    take = lambda x: jnp.take(
+        x.reshape((-1,) + x.shape[len(bs):]), idx, axis=0
+    )
+    sub_rays = jax.tree_util.tree_map(take, rays)
+    sub_skip = None
+    if skip_prim_id is not None:
+        sub_skip = jnp.take(jnp.asarray(skip_prim_id).reshape(-1), idx)
+    fixed = traverse_bvh8(
+        scene, sub_rays, opt_exact, sub_skip, sub, vmem_mb
+    )
+    merge = lambda full, part: full.reshape(
+        (-1,) + full.shape[len(bs):]
+    ).at[idx].set(part).reshape(full.shape)
+    return jax.tree_util.tree_map(merge, hits, fixed)
 
 
 def tile_image_rays(rays: Rays, tile_h: int = 32, tile_w: int = 32):
