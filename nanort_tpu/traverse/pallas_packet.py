@@ -84,6 +84,32 @@ def _kernel_body(
     max_t = maxt_ref[:]
     skip_pid = skip_ref[:] if use_skip else None
 
+    # sanitize degenerate rays IN-KERNEL (free: once per packet): they
+    # must MISS — NaN comparisons are all-false and a zero direction
+    # makes every triangle det==0 in the reference (nanort.h:2303-2348,
+    # 1202-1229) — but raw NaN origins, and zero dirs combined with huge
+    # (~1e30) origins as BDPT's escaped-ray slots produce, fault this
+    # Mosaic build (TPU worker crash). Replace with inert dummies whose
+    # min_t = max_t = +inf: every slab interval is empty (the NaN-robust
+    # where-folds keep tmin at +inf) and every triangle fails tt >= min_t,
+    # so they traverse nothing and report t = +inf — which no caller
+    # max_t reads back as a hit. The ok mask dies at setup; keeping it
+    # live to fix t at the end instead costs ~8% (pinned VREGs).
+    BIG = f32(3.0e38)
+    okr = (
+        (jnp.abs(ox) < BIG) & (jnp.abs(oy) < BIG) & (jnp.abs(oz) < BIG)
+        & (jnp.abs(dx) < BIG) & (jnp.abs(dy) < BIG) & (jnp.abs(dz) < BIG)
+        & (jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz) > 0)
+    )
+    ox = jnp.where(okr, ox, 0.0)
+    oy = jnp.where(okr, oy, 0.0)
+    oz = jnp.where(okr, oz, 0.0)
+    dx = jnp.where(okr, dx, 1.0)
+    dy = jnp.where(okr, dy, 0.0)
+    dz = jnp.where(okr, dz, 0.0)
+    min_t = jnp.where(okr, min_t, jnp.float32(np.inf))
+    max_t = jnp.where(okr, max_t, jnp.float32(np.inf))
+
     eps = f32(np.finfo(np.float32).eps)
     inf = f32(np.inf)
 
@@ -493,7 +519,7 @@ def traverse_bvh8(
         hit = t < jnp.float32(-1.0e38)  # the any-hit sentinel
         t = jnp.where(hit, jnp.zeros((), jnp.float32), maxt_o)
     else:
-        hit = t < maxt_o
+        hit = t < maxt_o  # in-kernel-sanitized rays report t=+inf
     zero = jnp.zeros((), jnp.float32)
     hits = Hits(
         t=t,
