@@ -19,7 +19,7 @@ Env knobs:
                        megabatching is the intended production usage:
                        8192^2 -> 109 Mrays/s measured on v5e with
                        ordered near-first traversal)
-  NANORT_BENCH_REPS   (default 5)
+  NANORT_BENCH_REPS   (default 3)
   NANORT_BENCH_LEAF   (default 8)
   NANORT_BENCH_SUB    (default 32 -> 4096-ray packets)
   NANORT_BENCH_PATH   ("pallas" | "wavefront", default pallas)

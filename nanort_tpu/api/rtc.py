@@ -99,10 +99,13 @@ class RTCScene:
     ):
         """rtcCommit -> Scene::Commit (nanort-embree.cc:688-693).
 
-        ``fast`` additionally builds the BVH8 packet-kernel tables for
-        single-geometry identity-transform scenes so ``occluded`` runs
-        the any-hit Pallas kernel. Default (None): enabled on TPU,
-        disabled on CPU (the packet kernel is TPU-only)."""
+        ``fast`` additionally builds BVH8 packet-kernel tables so
+        ``occluded`` runs the any-hit Pallas kernel: all geometries with
+        identity transforms are flattened into one concatenated mesh
+        (matching the committed scene exactly — world == local space).
+        Default (None): enabled on TPU, disabled on CPU (the packet
+        kernel is TPU-only). Scenes with non-identity transforms fall
+        back to the scene-graph traversal."""
         if not self._geoms:
             raise ValueError("rtcCommit on empty scene")
         sg = _SG()
@@ -121,27 +124,35 @@ class RTCScene:
             import jax
 
             fast = jax.default_backend() != "cpu"
-        if fast and len(self._geoms) == 1:
-            (g,) = self._geoms.values()
-            if np.allclose(g.xform, mat.identity()) and len(g.indices) <= (
-                1 << 24
-            ):
-                from .. import build_triangle_bvh
-                from ..build.bvh8 import collapse_bvh8
+        all_identity = all(
+            np.allclose(g.xform, mat.identity()) for g in self._geoms.values()
+        )
+        total_tris = sum(len(g.indices) for g in self._geoms.values())
+        if fast and all_identity and 0 < total_tris <= (1 << 24):
+            from .. import build_triangle_bvh
+            from ..build.bvh8 import collapse_bvh8
 
-                opt8 = BVHBuildOptions(
-                    min_leaf_primitives=8, max_leaf_primitives=8
-                )
-                bvh8_src, _ = build_triangle_bvh(
-                    TriangleMesh(
-                        vertices=jnp.asarray(g.vertices),
-                        faces=jnp.asarray(g.indices),
-                    ),
-                    opt8,
-                )
-                self._scene8 = collapse_bvh8(
-                    bvh8_src, g.vertices, g.indices
-                )
+            # flatten all geometries into one world-space mesh: identity
+            # transforms make world == local, so one BVH over the
+            # concatenation is exactly the committed scene
+            v_parts, f_parts, v_off = [], [], 0
+            for gid in sorted(self._geoms):
+                g = self._geoms[gid]
+                v_parts.append(np.asarray(g.vertices, np.float32))
+                f_parts.append(np.asarray(g.indices, np.int64) + v_off)
+                v_off += len(g.vertices)
+            flat_v = np.concatenate(v_parts)
+            flat_f = np.concatenate(f_parts)
+            opt8 = BVHBuildOptions(
+                min_leaf_primitives=8, max_leaf_primitives=8
+            )
+            bvh8_src, _ = build_triangle_bvh(
+                TriangleMesh(
+                    vertices=jnp.asarray(flat_v), faces=jnp.asarray(flat_f)
+                ),
+                opt8,
+            )
+            self._scene8 = collapse_bvh8(bvh8_src, flat_v, flat_f)
         self._committed = True
 
     def bounds(self):

@@ -185,22 +185,40 @@ def compute_skip_links(bvh: BVH) -> "np.ndarray":
     return skip
 
 
+def max_tree_depth(bvh: BVH) -> int:
+    """Max tree depth (root = 0), vectorized.
+
+    In DFS preorder a node ``j`` is an ancestor of ``i`` iff
+    ``j < i < skip[j]``, so depth[i] = number of branch intervals
+    covering i — computed as a prefix sum over interval start/end
+    increments (O(N) numpy, no Python recursion)."""
+    flag = np.asarray(bvh.flag)
+    n = flag.shape[0]
+    if n <= 1:
+        return 0
+    skip = compute_skip_links(bvh)
+    br = np.nonzero(flag == 0)[0]
+    inc = np.zeros(n + 1, np.int64)
+    np.add.at(inc, br + 1, 1)
+    np.add.at(inc, skip[br], -1)
+    return int(np.cumsum(inc[:n]).max())
+
+
+def required_max_stack(bvh: BVH) -> int:
+    """Traversal stack slots guaranteed to never overflow for this tree.
+
+    Near-first DFS holds at most one deferred far child per ancestor
+    level plus the two entries of the current push, so depth + 4 covers
+    it (reference sizes 512 slots for max depth 256, nanort.h:63,2497)."""
+    return max(8, max_tree_depth(bvh) + 4)
+
+
 def stats_from_bvh(bvh: BVH) -> BVHBuildStatistics:
     flag = np.asarray(bvh.flag)
     st = BVHBuildStatistics()
     st.num_leaf_nodes = int((flag == 1).sum())
     st.num_branch_nodes = int((flag == 0).sum())
-    # depth via DFS
-    data = np.asarray(bvh.data)
-    depth = 0
-    stack = [(0, 0)]
-    while stack:
-        i, d = stack.pop()
-        depth = max(depth, d)
-        if flag[i] == 0:
-            stack.append((int(data[i, 0]), d + 1))
-            stack.append((int(data[i, 1]), d + 1))
-    st.max_tree_depth = depth
+    st.max_tree_depth = max_tree_depth(bvh)
     return st
 
 

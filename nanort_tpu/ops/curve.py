@@ -167,7 +167,7 @@ def build_curve_bvh(c: Curves, options=None):
 
 def traverse_curves(bvh, c: Curves, rays: Rays, options=None,
                     num_subdivisions: int = 4, max_leaf: int = 4,
-                    max_stack: int = 64) -> Hits:
+                    max_stack: int | None = None) -> Hits:
     from ..core.options import BVHTraceOptions
     from ..traverse.stack import traverse
 

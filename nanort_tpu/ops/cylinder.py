@@ -161,7 +161,7 @@ def build_cylinder_bvh(c: Cylinders, options=None):
 
 
 def traverse_cylinders(bvh, c: Cylinders, rays: Rays, options=None,
-                       max_leaf: int = 4, max_stack: int = 64) -> Hits:
+                       max_leaf: int = 4, max_stack: int | None = None) -> Hits:
     from ..core.options import BVHTraceOptions
     from ..traverse.stack import traverse
 

@@ -115,7 +115,7 @@ def build_sphere_bvh(s: Spheres, options=None):
 
 
 def traverse_spheres(bvh, s: Spheres, rays: Rays, options=None,
-                     max_leaf: int = 4, max_stack: int = 64) -> Hits:
+                     max_leaf: int = 4, max_stack: int | None = None) -> Hits:
     """BVHAccel<float>::Traverse with the sphere intersector."""
     from ..core.options import BVHTraceOptions
     from ..traverse.stack import traverse

@@ -132,6 +132,49 @@ def sharded_traverse_triangles(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("options", "tile", "mesh_ctx")
+)
+def _sharded_wavefront_impl(packed, rays, options, tile, mesh_ctx):
+    from ..traverse.wavefront import traverse_wavefront
+
+    mesh = mesh_ctx.mesh
+
+    def local(packed_l, rays_l):
+        hits = traverse_wavefront(packed_l, rays_l, options, tile=tile)
+        n_hit = jax.lax.psum(
+            jnp.sum(hits.prim_id != jnp.uint32(INVALID_PRIM_ID)), RAY_AXIS
+        )
+        return hits, n_hit
+
+    shard_fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS)),
+        out_specs=(P(RAY_AXIS), P()),
+    )
+    return shard_fn(packed, rays)
+
+
+def sharded_traverse_wavefront(
+    packed,
+    rays: Rays,
+    device_mesh: Mesh,
+    options: BVHTraceOptions = BVHTraceOptions(),
+    tile: int = 4096,
+):
+    """Wavefront (skip-link) engine over a sharded ray batch: packed
+    tables replicated per chip, rays data-parallel over the mesh."""
+    n = device_mesh.devices.size
+    if rays.org.shape[0] % n:
+        raise ValueError("ray batch not divisible by mesh size")
+    packed_r = replicate(packed, device_mesh)
+    rays_s = shard_rays(rays, device_mesh)
+    return _sharded_wavefront_impl(
+        packed_r, rays_s, options, tile, _MeshCtx(device_mesh)
+    )
+
+
+@functools.partial(
     jax.jit, static_argnames=("options", "max_leaf", "max_stack", "mesh_ctx")
 )
 def _sharded_render_impl(

@@ -70,6 +70,8 @@ def _kernel_body(
     leaf_unroll: int,
     multi_pop: int,
     occlusion: bool,
+    prim_range: tuple | None = None,
+    inkernel_exact: bool = False,
     debug_counts: bool = False,
     flag_zero_edges: bool = False,
 ):
@@ -148,92 +150,101 @@ def _kernel_body(
     # packet; a wrong guess only costs order, never correctness)
     neg_ax = (dx_ref[0, 0] < 0, dy_ref[0, 0] < 0, dz_ref[0, 0] < 0)
 
-    if exact_edge_fallback:
-        C = f32(4097.0)
+    C = f32(4097.0)
 
-        def two_prod(a, b):
-            p = a * b
-            a1 = a * C
-            ah = a1 - (a1 - a)
-            al = a - ah
-            b1 = b * C
-            bh = b1 - (b1 - b)
-            bl = b - bh
-            err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-            return p, err
+    def two_prod(a, b):
+        p = a * b
+        a1 = a * C
+        ah = a1 - (a1 - a)
+        al = a - ah
+        b1 = b * C
+        bh = b1 - (b1 - b)
+        bl = b - bh
+        err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+        return p, err
 
-        def prod_diff(a, b, c, d):
-            p1, e1 = two_prod(a, b)
-            p2, e2 = two_prod(c, d)
-            return (p1 - p2) + (e1 - e2)
+    def prod_diff(a, b, c, d):
+        p1, e1 = two_prod(a, b)
+        p2, e2 = two_prod(c, d)
+        return (p1 - p2) + (e1 - e2)
 
-    def leaf_test(lrow, cnt, carry):
-        # accumulators live in vector registers across the whole drain
-        # loop (VMEM read/write round trips per leaf measurably stall)
-        if flag_zero_edges:
-            t_b, u_b, v_b, p_b, z_b = carry
-        else:
-            t_b, u_b, v_b, p_b = carry
-        for ti in range(leaf_unroll):
-            p0x, p0y, p0z = lrow[0, 9 * ti], lrow[0, 9 * ti + 1], lrow[0, 9 * ti + 2]
-            p1x, p1y, p1z = lrow[0, 9 * ti + 3], lrow[0, 9 * ti + 4], lrow[0, 9 * ti + 5]
-            p2x, p2y, p2z = lrow[0, 9 * ti + 6], lrow[0, 9 * ti + 7], lrow[0, 9 * ti + 8]
-            pid_t = lrow[0, 90 + ti].astype(jnp.int32)
-
-            ax_, ay_, az_ = p0x - ox, p0y - oy, p0z - oz
-            bx_, by_, bz_ = p1x - ox, p1y - oy, p1z - oz
-            cx_, cy_, cz_ = p2x - ox, p2y - oy, p2z - oz
-            Az = comp(ax_, ay_, az_, kz)
-            Bz = comp(bx_, by_, bz_, kz)
-            Cz = comp(cx_, cy_, cz_, kz)
-            Ax = comp(ax_, ay_, az_, kx) - sx * Az
-            Ay = comp(ax_, ay_, az_, ky) - sy * Az
-            Bx = comp(bx_, by_, bz_, kx) - sx * Bz
-            By = comp(bx_, by_, bz_, ky) - sy * Bz
-            Cx = comp(cx_, cy_, cz_, kx) - sx * Cz
-            Cy = comp(cx_, cy_, cz_, ky) - sy * Cz
-
-            U = Cx * By - Cy * Bx
-            V = Ax * Cy - Ay * Cx
-            W = Bx * Ay - By * Ax
-            if flag_zero_edges:
-                # rays whose result COULD differ under the exact edge
-                # recompute: any in-range tri with a zero edge function
-                z_b = z_b | (
-                    ((U == 0.0) | (V == 0.0) | (W == 0.0)) & (ti < cnt)
-                ).astype(jnp.int32)
-            if exact_edge_fallback:
-                zmask = (U == 0.0) | (V == 0.0) | (W == 0.0)
-                U = jnp.where(zmask, prod_diff(Cx, By, Cy, Bx), U)
-                V = jnp.where(zmask, prod_diff(Ax, Cy, Ay, Cx), V)
-                W = jnp.where(zmask, prod_diff(Bx, Ay, By, Ax), W)
-            any_neg = (U < 0.0) | (V < 0.0) | (W < 0.0)
-            any_pos = (U > 0.0) | (V > 0.0) | (W > 0.0)
-            if cull_back_face:
-                edge_ok = ~any_neg
+    def make_leaf_test(exact: bool, collect: bool):
+        def leaf_test(lrow, cnt, carry):
+            # accumulators live in vector registers across the whole drain
+            # loop (VMEM read/write round trips per leaf measurably stall)
+            if collect:
+                t_b, u_b, v_b, p_b, z_b = carry
             else:
-                edge_ok = ~(any_neg & any_pos)
-            det = U + V + W
-            det_ok = det != 0.0
-            rcp = 1.0 / jnp.where(det_ok, det, 1.0)
-            tt = (U * (sz * Az) + V * (sz * Bz) + W * (sz * Cz)) * rcp
-            valid = edge_ok & det_ok & (tt <= t_b) & (tt >= min_t)
-            valid = valid & (ti < cnt)
-            if use_skip:
-                valid = valid & (pid_t != skip_pid)
-            t_b = jnp.where(valid, tt, t_b)
-            u_b = jnp.where(valid, V * rcp, u_b)
-            v_b = jnp.where(valid, W * rcp, v_b)
-            p_b = jnp.where(valid, pid_t, p_b)
-            if occlusion:
-                # any-hit: a hit ray leaves the traversal — its t bound
-                # drops below every slab interval, so it stops voting in
-                # node masks and the packet terminates as soon as all
-                # rays are occluded or exhausted
-                t_b = jnp.where(valid, f32(-3.0e38), t_b)
-        if flag_zero_edges:
-            return t_b, u_b, v_b, p_b, z_b
-        return t_b, u_b, v_b, p_b
+                t_b, u_b, v_b, p_b = carry
+            for ti in range(leaf_unroll):
+                p0x, p0y, p0z = lrow[0, 9 * ti], lrow[0, 9 * ti + 1], lrow[0, 9 * ti + 2]
+                p1x, p1y, p1z = lrow[0, 9 * ti + 3], lrow[0, 9 * ti + 4], lrow[0, 9 * ti + 5]
+                p2x, p2y, p2z = lrow[0, 9 * ti + 6], lrow[0, 9 * ti + 7], lrow[0, 9 * ti + 8]
+                pid_t = lrow[0, 90 + ti].astype(jnp.int32)
+
+                ax_, ay_, az_ = p0x - ox, p0y - oy, p0z - oz
+                bx_, by_, bz_ = p1x - ox, p1y - oy, p1z - oz
+                cx_, cy_, cz_ = p2x - ox, p2y - oy, p2z - oz
+                Az = comp(ax_, ay_, az_, kz)
+                Bz = comp(bx_, by_, bz_, kz)
+                Cz = comp(cx_, cy_, cz_, kz)
+                Ax = comp(ax_, ay_, az_, kx) - sx * Az
+                Ay = comp(ax_, ay_, az_, ky) - sy * Az
+                Bx = comp(bx_, by_, bz_, kx) - sx * Bz
+                By = comp(bx_, by_, bz_, ky) - sy * Bz
+                Cx = comp(cx_, cy_, cz_, kx) - sx * Cz
+                Cy = comp(cx_, cy_, cz_, ky) - sy * Cz
+
+                U = Cx * By - Cy * Bx
+                V = Ax * Cy - Ay * Cx
+                W = Bx * Ay - By * Ax
+                if collect:
+                    # rays whose result COULD differ under the exact edge
+                    # recompute: any in-range tri with a zero edge function
+                    z_b = z_b | (
+                        ((U == 0.0) | (V == 0.0) | (W == 0.0)) & (ti < cnt)
+                    ).astype(jnp.int32)
+                if exact:
+                    zmask = (U == 0.0) | (V == 0.0) | (W == 0.0)
+                    U = jnp.where(zmask, prod_diff(Cx, By, Cy, Bx), U)
+                    V = jnp.where(zmask, prod_diff(Ax, Cy, Ay, Cx), V)
+                    W = jnp.where(zmask, prod_diff(Bx, Ay, By, Ax), W)
+                any_neg = (U < 0.0) | (V < 0.0) | (W < 0.0)
+                any_pos = (U > 0.0) | (V > 0.0) | (W > 0.0)
+                if cull_back_face:
+                    edge_ok = ~any_neg
+                else:
+                    edge_ok = ~(any_neg & any_pos)
+                det = U + V + W
+                det_ok = det != 0.0
+                rcp = 1.0 / jnp.where(det_ok, det, 1.0)
+                tt = (U * (sz * Az) + V * (sz * Bz) + W * (sz * Cz)) * rcp
+                valid = edge_ok & det_ok & (tt <= t_b) & (tt >= min_t)
+                valid = valid & (ti < cnt)
+                if use_skip:
+                    valid = valid & (pid_t != skip_pid)
+                if prim_range is not None:
+                    # reference prim-ID window filter (nanort.h:1054-1063):
+                    # two VPU compares against baked constants, near-free
+                    valid = valid & (pid_t >= prim_range[0]) & (
+                        pid_t < prim_range[1]
+                    )
+                t_b = jnp.where(valid, tt, t_b)
+                u_b = jnp.where(valid, V * rcp, u_b)
+                v_b = jnp.where(valid, W * rcp, v_b)
+                p_b = jnp.where(valid, pid_t, p_b)
+                if occlusion:
+                    # any-hit: encode the found distance as -(tt+1) — still
+                    # below every slab interval (shadow rays have min_t >= 0),
+                    # so the ray stops voting in node masks and the packet
+                    # terminates once every ray is occluded or exhausted,
+                    # while the actual hit distance stays recoverable
+                    t_b = jnp.where(valid, -tt - 1.0, t_b)
+            if collect:
+                return t_b, u_b, v_b, p_b, z_b
+            return t_b, u_b, v_b, p_b
+
+        return leaf_test
 
     MM = f32(1.00000024)
 
@@ -324,34 +335,73 @@ def _kernel_body(
             lq = lq + bit * (1 - internal)
         return sp, lq, t_b
 
-    def drain_body(q, carry):
-        if debug_counts:
-            leafq_ref[33] = leafq_ref[33] + 1
-        packed = leafq_ref[q]
-        lrow = leafs_ref[pl.ds(packed >> 4, 1), :]
-        return leaf_test(lrow, packed & 15, carry)
+    def run_pass(exact: bool, collect: bool):
+        """One full traversal of the packet; returns the final carry."""
+        leaf_fn = make_leaf_test(exact, collect)
 
-    def outer(state):
-        sp = state[0]
-        acc = state[1:]
-        sp, lq, _ = jax.lax.while_loop(
-            lambda c: (c[0] > 0) & (c[1] < LQ_CAP),
-            node_step,
-            (sp, jnp.int32(0), acc[0]),
+        def drain_body(q, carry):
+            if debug_counts:
+                leafq_ref[33] = leafq_ref[33] + 1
+            packed = leafq_ref[q]
+            lrow = leafs_ref[pl.ds(packed >> 4, 1), :]
+            return leaf_fn(lrow, packed & 15, carry)
+
+        def outer(state):
+            sp = state[0]
+            acc = state[1:]
+            sp, lq, _ = jax.lax.while_loop(
+                lambda c: (c[0] > 0) & (c[1] < LQ_CAP),
+                node_step,
+                (sp, jnp.int32(0), acc[0]),
+            )
+            acc = jax.lax.fori_loop(0, lq, drain_body, acc)
+            return (sp,) + tuple(acc)
+
+        init = [max_t, jnp.zeros_like(max_t), jnp.zeros_like(max_t),
+                jnp.full(max_t.shape, -1, jnp.int32)]
+        if collect:
+            init.append(jnp.zeros(max_t.shape, jnp.int32))
+        fin = jax.lax.while_loop(
+            lambda st: st[0] > 0, outer, (jnp.int32(1), *init)
         )
-        acc = jax.lax.fori_loop(0, lq, drain_body, acc)
-        return (sp,) + tuple(acc)
+        return fin[1:]
 
-    init = [max_t, jnp.zeros_like(max_t), jnp.zeros_like(max_t),
-            jnp.full(max_t.shape, -1, jnp.int32)]
+    if inkernel_exact:
+        # pass 1: fast edges (no Dekker recompute), flag rays that hit a
+        # zero edge function on any in-range triangle — exactly the rays
+        # whose record COULD differ under the exact recompute
+        t_b, u_b, v_b, p_b, z_b = run_pass(exact=False, collect=True)
+        t_out[:] = t_b
+        u_out[:] = u_b
+        v_out[:] = v_b
+        pid_out[:] = p_b
+        # fold the flag to ONE scalar (a single extra sync per packet)
+        for sh in (64, 32, 16, 8, 4, 2, 1):
+            z_b = z_b | pltpu.roll(z_b, sh, axis=1)
+        sub_n = z_b.shape[0]
+        sh = 1
+        while sh < sub_n:
+            z_b = z_b | pltpu.roll(z_b, sh, axis=0)
+            sh *= 2
+        zf = z_b[0, 0]
+
+        # pass 2 (rare): whole-packet retrace with exact edges, same
+        # kernel invocation — no host round trip (the two-pass host
+        # variant lost its 11% kernel win to tunnel orchestration)
+        @pl.when(zf != 0)
+        def _retrace():
+            stack_ref[0] = 0  # pass 1 may have overwritten the root slot
+            t2, u2, v2, p2 = run_pass(exact=True, collect=False)
+            t_out[:] = t2
+            u_out[:] = u2
+            v_out[:] = v2
+            pid_out[:] = p2
+        return
+
+    fin = run_pass(exact=exact_edge_fallback, collect=flag_zero_edges)
+    t_b, u_b, v_b, p_b = fin[:4]
     if flag_zero_edges:
-        init.append(jnp.zeros(max_t.shape, jnp.int32))
-    fin = jax.lax.while_loop(
-        lambda st: st[0] > 0, outer, (jnp.int32(1), *init)
-    )
-    t_b, u_b, v_b, p_b = fin[1:5]
-    if flag_zero_edges:
-        z_out[:] = fin[5]
+        z_out[:] = fin[4]
     t_out[:] = t_b
     if debug_counts:
         # debug mode: u/v carry the per-packet visit counters instead
@@ -375,6 +425,8 @@ def _make_kernel(
     leaf_unroll: int,
     multi_pop: int,
     occlusion: bool,
+    prim_range: tuple | None = None,
+    inkernel_exact: bool = False,
     debug_counts: bool = False,
     flag_zero_edges: bool = False,
 ):
@@ -387,6 +439,8 @@ def _make_kernel(
         leaf_unroll=leaf_unroll,
         multi_pop=multi_pop,
         occlusion=occlusion,
+        prim_range=prim_range,
+        inkernel_exact=inkernel_exact,
         debug_counts=debug_counts,
         flag_zero_edges=flag_zero_edges,
     )
@@ -424,6 +478,7 @@ def traverse_bvh8(
     vmem_mb: int = 116,
     multi_pop: int = 4,
     occlusion: bool = False,
+    exact_mode: str = "auto",
     debug_counts: bool = False,
     _flag_zero_edges: bool = False,
 ) -> Hits:
@@ -432,9 +487,10 @@ def traverse_bvh8(
     ``occlusion=True`` runs the any-hit mode (Embree's rtcOccluded, the
     right engine for shadow/AO rays): each ray stops traversing at its
     first accepted hit and the packet terminates once every ray is
-    occluded or exhausted. The returned ``Hits.hit``/``prim_id``/u/v
-    identify *an* intersection, and ``t`` is 0 for occluded rays — not
-    the closest distance.
+    occluded or exhausted. The returned ``Hits.hit``/``prim_id``/u/v/t
+    identify *an* intersection (t is that hit's distance, not necessarily
+    the closest — the reference's any-hit contract). Occlusion mode
+    assumes shadow-ray windows (min_t >= 0).
 
     Rays MUST arrive in a spatially coherent order — consecutive groups
     of ``sub*128`` rays form one packet sharing traversal control flow
@@ -443,11 +499,26 @@ def traverse_bvh8(
     blow up by orders of magnitude (long enough to trip the TPU watchdog);
     route incoherent rays through traverse.wavefront instead.
     """
-    if options.prim_ids_range != (0, 0x7FFFFFFF):
-        raise NotImplementedError(
-            "prim_ids_range filter not supported in the packet kernel; "
-            "use traverse_wavefront"
-        )
+    prim_range = (
+        None
+        if options.prim_ids_range == (0, 0x7FFFFFFF)
+        else (int(options.prim_ids_range[0]), int(options.prim_ids_range[1]))
+    )
+    # exact_mode: how exact_edge_fallback=True is realized.
+    #   "single"  — Dekker recompute inline on every leaf test (simple,
+    #               ~17% slower leaf phase);
+    #   "twopass" — fast pass that flags zero-edge rays, then a rare
+    #               in-kernel whole-packet retrace with exact edges
+    #               (bit-identical results, no host round trip);
+    #   "auto"    — twopass for plain closest-hit traces, single when a
+    #               mode needing the one-pass carry layout is active.
+    if exact_mode not in ("auto", "single", "twopass"):
+        raise ValueError(f"unknown exact_mode {exact_mode!r}")
+    inkernel_exact = (
+        options.exact_edge_fallback
+        and exact_mode in ("auto", "twopass")
+        and not (occlusion or debug_counts or _flag_zero_edges)
+    )
     bs = rays.batch_shape
     flat = jax.tree_util.tree_map(
         lambda x: x.reshape((-1,) + x.shape[len(bs):]), rays
@@ -496,6 +567,8 @@ def traverse_bvh8(
         scene.max_leaf,
         multi_pop,
         occlusion,
+        prim_range,
+        inkernel_exact,
         debug_counts,
         _flag_zero_edges,
     )
@@ -516,8 +589,8 @@ def traverse_bvh8(
         # u/v are the raw per-packet (node pops, leaf drains) counters
         return Hits(t=t, u=u, v=v, prim_id=pid)
     if occlusion:
-        hit = t < jnp.float32(-1.0e38)  # the any-hit sentinel
-        t = jnp.where(hit, jnp.zeros((), jnp.float32), maxt_o)
+        hit = t <= jnp.float32(-1.0)  # encoded as -(tt+1) in-kernel
+        t = jnp.where(hit, -t - 1.0, maxt_o)
     else:
         hit = t < maxt_o  # in-kernel-sanitized rays report t=+inf
     zero = jnp.zeros((), jnp.float32)

@@ -14,10 +14,11 @@ anchor for the Pallas wavefront kernel: identical hit records, including
 the reference's tie-breaking (equal-t replaces, so the last equal-t hit in
 traversal order wins — nanort.h:1131-1139 via TestLeafNode, 2372-2407).
 
-Stack depth: the reference allots 512 words/ray; for trees built with our
-``max_leaf_primitives`` cap, depth rarely exceeds ~48 for 1M prims. The
-``max_stack`` default (64) is a parameter; overflow would wrap, so deep
-unbalanced trees should raise it (tests validate against tree depth).
+Stack depth: the reference allots 512 words/ray (nanort.h:63,2497).
+Here ``max_stack=None`` (the default) sizes the stack from the built
+tree's measured depth (core.bvh.required_max_stack), so overflow cannot
+silently corrupt results; an explicit ``max_stack`` is honored for jitted
+callers whose BVH arrays are traced.
 """
 
 from __future__ import annotations
@@ -100,7 +101,11 @@ def _traverse_batch(
         near_sel = jnp.take_along_axis(dir_neg, naxis[:, None], axis=1)[:, 0]
         near = jnp.where(near_sel, nd[:, 1], nd[:, 0])
         far = jnp.where(near_sel, nd[:, 0], nd[:, 1])
-        push = box_hit & ~is_leaf
+        # refuse pushes that don't fit: the subtree is dropped rather
+        # than corrupting slots / growing sp unboundedly. Unreachable
+        # with the auto-sized stack (required_max_stack); a too-small
+        # explicit max_stack degrades to missed subtrees, never a hang.
+        push = box_hit & ~is_leaf & (sp + 2 <= max_stack - 1)
         s1 = jnp.minimum(sp + 1, max_stack - 1)
         s2 = jnp.minimum(sp + 2, max_stack - 1)
         rr = jnp.arange(R)
@@ -186,6 +191,31 @@ def _traverse_jit(
     return jax.tree_util.tree_map(lambda x: x.reshape(bs), hits)
 
 
+# memo: id(flag array) -> safe stack size (tiny LRU-ish cap)
+_STACK_SIZE_MEMO: dict = {}
+
+
+def _auto_max_stack(bvh) -> int:
+    """Stack slots sized from the actual tree depth (never overflows).
+
+    Falls back to the reference's 512 (nanort.h:63) when the BVH arrays
+    are traced values whose depth can't be inspected host-side."""
+    from ..core.bvh import required_max_stack
+
+    key = id(bvh.flag)
+    hit = _STACK_SIZE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    try:
+        need = required_max_stack(bvh)
+    except Exception:  # traced arrays inside jit/shard_map
+        return 512
+    if len(_STACK_SIZE_MEMO) > 64:
+        _STACK_SIZE_MEMO.clear()
+    _STACK_SIZE_MEMO[key] = need
+    return need
+
+
 def traverse(
     bvh,
     prims,
@@ -196,9 +226,14 @@ def traverse(
     intersect_fn: Callable,
     max_leaf: int,
     skip_prim_id=None,
-    max_stack: int = 64,
+    max_stack: int | None = None,
 ) -> Hits:
-    """Generic BVH traversal for any primitive kind (see ops.protocol)."""
+    """Generic BVH traversal for any primitive kind (see ops.protocol).
+
+    ``max_stack=None`` (default) sizes the per-ray stack from the built
+    tree's depth so overflow cannot silently corrupt results (ADVICE r1)."""
+    if max_stack is None:
+        max_stack = _auto_max_stack(bvh)
     skip_is_array = skip_prim_id is not None
     return _traverse_jit(
         bvh,
@@ -221,7 +256,7 @@ def traverse_triangles(
     options: BVHTraceOptions = BVHTraceOptions(),
     skip_prim_id=None,
     max_leaf: int = 4,
-    max_stack: int = 64,
+    max_stack: int | None = None,
 ) -> Hits:
     """Triangle-mesh traversal (reference BVHAccel<float>::Traverse +
     TriangleIntersector)."""

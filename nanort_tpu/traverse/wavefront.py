@@ -111,7 +111,7 @@ def _traverse_tile(
         return c[0]
 
     def inner_body(c):
-        _, cur, lcnt, loff, t = c
+        _, cur, lcnt, loff, lskp, t = c
         safe = jnp.minimum(cur, n - 1)
         row = jnp.take(nodes, safe, axis=0)  # (T, 12)
         active = cur < n
@@ -126,8 +126,13 @@ def _traverse_tile(
         cur = jnp.where(advance, nxt, cur)
         lcnt = jnp.where(leaf_hit, cnt, 0)
         loff = jnp.where(leaf_hit, off, 0)
+        # park the hit leaf's own escape index: after the drain the ray
+        # must resume at skip[leaf], NOT leaf+1 — pack_scene_multi remaps
+        # a sub-tree's terminal skip to the global sentinel, so leaf+1
+        # would walk into the next mesh's root.
+        lskp = jnp.where(leaf_hit, skp, lskp)
         pending = jnp.any(advance & (cur < n))
-        return pending, cur, lcnt, loff, t
+        return pending, cur, lcnt, loff, lskp, t
 
     def outer_cond(s):
         return jnp.any(s[0] < n)
@@ -135,10 +140,12 @@ def _traverse_tile(
     def outer_body(s):
         cur, t, u, v, pid = s
         # Phase A: drive every ray to its next hit leaf (or termination)
-        _, cur, lcnt, loff, _ = jax.lax.while_loop(
+        _, cur, lcnt, loff, lskp, _ = jax.lax.while_loop(
             inner_cond,
             inner_body,
-            (jnp.any(cur < n), cur, jnp.zeros(T, jnp.int32), jnp.zeros(T, jnp.int32), t),
+            # lcnt/loff derive from cur (not fresh zeros) so their
+            # varying-over-mesh type matches the loop body under shard_map
+            (jnp.any(cur < n), cur, cur * 0, cur * 0, cur, t),
         )
         # Phase B: vectorized leaf test
         has = lcnt > 0
@@ -180,8 +187,10 @@ def _traverse_tile(
         u = jnp.where(upd, take1(uu), u)
         v = jnp.where(upd, take1(vv), v)
         pid = jnp.where(upd, take1(pids), pid)
-        # a leaf's preorder successor is its own skip (== cur + 1)
-        cur = jnp.where(has, cur + 1, cur)
+        # resume at the drained leaf's skip link (NOT cur + 1: a
+        # sub-tree's last leaf skips to the global sentinel in
+        # multi-mesh tables — see pack_scene_multi)
+        cur = jnp.where(has, lskp, cur)
         return cur, t, u, v, pid
 
     _, t, u, v, pid = jax.lax.while_loop(

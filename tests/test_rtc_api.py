@@ -100,3 +100,26 @@ def test_fast_commit_gating():
     assert sc._scene8 is None
     sc.commit(fast=False)
     assert sc._scene8 is None
+
+
+def test_two_geometries_overlapping_footprint():
+    """Regression (ADVICE r1): >= 2 geometries where a ray drains the
+    last leaf of geometry 0's subtree with geometry 1 directly behind it
+    in table order — hits must not leak across geometries."""
+    device = new_device()
+    scene = device.new_scene()
+    # geom 0: single triangle at z=-5; geom 1: single triangle at z=-2
+    for z in (-5.0, -2.0):
+        v = np.array([[-2, -2, z], [2, -2, z], [0, 2, z]], np.float32)
+        f = np.array([[0, 1, 2]], np.int32)
+        gid = scene.new_triangle_mesh(1, 3)
+        scene.map_buffer(gid, BufferType.VERTEX)[:] = v
+        scene.map_buffer(gid, BufferType.INDEX)[:] = f
+    scene.commit()
+    rays = make_rays(
+        np.array([[0, 0, 0]], np.float32), np.array([[0, 0, -1.0]], np.float32)
+    )
+    hits = scene.intersect(rays)
+    assert bool(hits.hit[0])
+    assert float(hits.t[0]) == pytest.approx(2.0, rel=1e-6)
+    assert int(hits.node_id[0]) == 1

@@ -145,3 +145,59 @@ def test_empty_scene_raises():
     sc = Scene()
     with pytest.raises(ValueError):
         sc.commit()
+
+
+def _single_tri_mesh(z):
+    v = np.array([[-2, -2, z], [2, -2, z], [0, 2, z]], np.float32)
+    f = np.array([[0, 1, 2]], np.int64)
+    return TriangleMesh(vertices=jnp.asarray(v), faces=jnp.asarray(f))
+
+
+def test_two_distinct_meshes_no_subtree_leak():
+    """Regression (ADVICE r1): a Scene with >= 2 DISTINCT meshes must not
+    let a ray rooted in mesh 0's subtree drain through into mesh 1's
+    nodes (wavefront multi-mesh table leak). Hits must attribute to the
+    right instance."""
+    far = _single_tri_mesh(-5.0)   # node 0
+    near = _single_tri_mesh(-2.0)  # node 1
+    sc = Scene()
+    sc.add_node(Node("far", far))
+    sc.add_node(Node("near", near))
+    sc.commit()
+    rays = make_rays(
+        np.array([[0, 0, 0]], np.float32), np.array([[0, 0, -1.0]], np.float32)
+    )
+    h = sc.traverse(rays)
+    assert bool(h.hit[0])
+    np.testing.assert_allclose(float(h.t[0]), 2.0, rtol=1e-6)
+    assert int(h.node_id[0]) == 1  # nearest instance is "near"
+
+
+def test_multi_distinct_meshes_match_flat_traversal():
+    """Scene of several distinct meshes (identity transforms) must equal
+    single-BVH traversal over the concatenated geometry."""
+    from nanort_tpu.io.procedural import merge_meshes
+
+    v0, f0 = make_uv_sphere(8, 16, 0.6, (-1.2, 0, 0))
+    v1, f1 = make_cornell_box()
+    v2, f2 = make_uv_sphere(6, 12, 0.4, (1.2, 0.3, 0))
+    sc = Scene()
+    for i, (v, f) in enumerate([(v0, f0), (v1, f1), (v2, f2)]):
+        sc.add_node(
+            Node(f"m{i}", TriangleMesh(vertices=jnp.asarray(v), faces=jnp.asarray(f)))
+        )
+    sc.commit()
+
+    mv, mf = merge_meshes((v0, f0), (v1, f1), (v2, f2))
+    flat = TriangleMesh(vertices=jnp.asarray(mv), faces=jnp.asarray(mf))
+    bvh, _ = build_triangle_bvh(flat)
+
+    rays = _rays_grid(20, z=4.0, span=1.8)
+    got = sc.traverse(rays)
+    want = traverse_triangles(bvh, flat, rays)
+    np.testing.assert_array_equal(np.asarray(got.hit), np.asarray(want.hit))
+    m = np.asarray(want.hit)
+    assert m.any()
+    np.testing.assert_allclose(
+        np.asarray(got.t)[m], np.asarray(want.t)[m], rtol=1e-4, atol=1e-5
+    )

@@ -185,3 +185,65 @@ def test_2d_ray_batch_shape():
     got = traverse_triangles(bvh, mesh, rays)
     assert got.t.shape == (4, 8)
     assert np.asarray(got.hit).all()
+
+
+def test_deep_degenerate_tree_auto_stack():
+    """Overflow safety (ADVICE r1 / VERDICT r1 #6): a depth-99 chain tree
+    must traverse correctly with the default auto-sized stack — the old
+    fixed 64-slot default silently corrupted results past depth ~62."""
+    from nanort_tpu.core.bvh import BVH, max_tree_depth, required_max_stack, stats_from_bvh
+
+    # chain BVH: branch 2j = {leaf(prim j) at 2j+1, branch 2(j+1)};
+    # preorder with left == parent+1, contiguous leaf ranges.
+    n = 100
+    n_nodes = 2 * n - 1
+    xs = np.arange(n, dtype=np.float32)
+    v = np.zeros((3 * n, 3), np.float32)
+    v[0::3] = np.stack([xs, np.full(n, -1.0), np.full(n, -1.0)], -1)
+    v[1::3] = np.stack([xs, np.full(n, 1.0), np.full(n, -1.0)], -1)
+    v[2::3] = np.stack([xs, np.zeros(n), np.ones(n)], -1)
+    f = np.arange(3 * n, dtype=np.int64).reshape(n, 3)
+    mesh = TriangleMesh(vertices=jnp.asarray(v), faces=jnp.asarray(f))
+
+    bmin = np.zeros((n_nodes, 3), np.float32)
+    bmax = np.zeros((n_nodes, 3), np.float32)
+    flag = np.zeros(n_nodes, np.int32)
+    axis = np.zeros(n_nodes, np.int32)
+    data = np.zeros((n_nodes, 2), np.uint32)
+    for j in range(n - 1):
+        b = 2 * j
+        bmin[b] = [j, -1, -1]
+        bmax[b] = [n - 1, 1, 1]
+        data[b] = [b + 1, b + 2]
+        lf = b + 1
+        flag[lf] = 1
+        bmin[lf] = [j, -1, -1]
+        bmax[lf] = [j, 1, 1]
+        data[lf] = [1, j]
+    last = n_nodes - 1
+    flag[last] = 1
+    bmin[last] = [n - 1, -1, -1]
+    bmax[last] = [n - 1, 1, 1]
+    data[last] = [1, n - 1]
+    bvh = BVH(bmin=bmin, bmax=bmax, flag=flag, axis=axis, data=data,
+              indices=np.arange(n, dtype=np.uint32))
+
+    depth = max_tree_depth(bvh)
+    assert depth == n - 1
+    assert required_max_stack(bvh) >= depth + 4
+    assert stats_from_bvh(bvh).max_tree_depth == depth
+
+    # rays along -x: near-first ordering pushes the whole chain before
+    # draining leaves, maximizing live stack entries
+    org = np.stack(
+        [np.full(32, 200.0), np.linspace(-0.5, 0.5, 32), np.zeros(32)], -1
+    ).astype(np.float32)
+    dirs = np.tile([-1.0, 0, 0], (32, 1)).astype(np.float32)
+    rays = make_rays(org, dirs)
+    got = traverse_triangles(bvh, mesh, rays)  # default: auto max_stack
+    want = brute_force_traverse(mesh, rays)
+    assert_hits_match(got, want, rays)
+
+    # the old fixed-64 default must now be demonstrably insufficient here
+    bad = traverse_triangles(bvh, mesh, rays, max_stack=8)
+    assert not np.array_equal(np.asarray(bad.t), np.asarray(want.t))

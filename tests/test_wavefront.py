@@ -75,3 +75,65 @@ def test_wavefront_2d_batch_and_window():
     rays2 = make_rays(org, dir, max_t=0.5)
     got2 = traverse_wavefront(scene, rays2, tile=16)
     assert not np.asarray(got2.hit).any()
+
+
+def _tri_mesh(z, shift=0.0):
+    v = np.array(
+        [[-1 + shift, -1, z], [1 + shift, -1, z], [0 + shift, 1, z]],
+        np.float32,
+    )
+    f = np.array([[0, 1, 2]], np.int64)
+    return v, f
+
+
+def test_multi_mesh_last_leaf_does_not_leak():
+    """Regression (ADVICE r1, high): after draining the LAST leaf of mesh
+    k's subtree, the ray must escape via the leaf's remapped skip (global
+    sentinel), not fall through to mesh k+1's root at cur+1."""
+    from nanort_tpu.traverse.packed import pack_scene_multi
+
+    v0, f0 = _tri_mesh(-5.0)  # mesh 0: triangle at z=-5 (t=5)
+    v1, f1 = _tri_mesh(-2.0)  # mesh 1: nearer triangle at z=-2 (t=2)
+    items = []
+    for v, f in [(v0, f0), (v1, f1)]:
+        mesh = TriangleMesh(vertices=jnp.asarray(v), faces=jnp.asarray(f))
+        bvh, _ = build_triangle_bvh(mesh)
+        items.append((bvh, v, f))
+    scene, roots = pack_scene_multi(items)
+
+    rays = make_rays(
+        np.zeros((2, 3), np.float32),
+        np.tile([0, 0, -1.0], (2, 1)).astype(np.float32),
+    )
+    root = jnp.asarray(np.asarray([roots[0], roots[1]], np.int32))
+    got = traverse_wavefront(scene, rays, root=root, tile=8)
+    # ray 0 rooted at mesh 0 must see ONLY mesh 0's triangle (t=5)
+    np.testing.assert_allclose(float(got.t[0]), 5.0, rtol=1e-6)
+    assert int(got.prim_id[0]) == 0
+    # ray 1 rooted at mesh 1 sees its own triangle at t=2
+    np.testing.assert_allclose(float(got.t[1]), 2.0, rtol=1e-6)
+
+
+def test_multi_mesh_roots_match_per_mesh_traversal():
+    """Randomized multi-mesh table: rays rooted at each sub-tree must
+    reproduce that mesh's standalone traversal exactly."""
+    from nanort_tpu.traverse.packed import pack_scene_multi
+
+    rng = np.random.default_rng(5)
+    meshes = []
+    items = []
+    for k in range(3):
+        v, f = make_random_triangles(120 + 70 * k, seed=20 + k)
+        mesh = TriangleMesh(vertices=jnp.asarray(v), faces=jnp.asarray(f))
+        bvh, _ = build_triangle_bvh(mesh)
+        meshes.append(mesh)
+        items.append((bvh, v, f))
+    scene, roots = pack_scene_multi(items)
+
+    rays = _random_rays(257, seed=9)
+    for k, mesh in enumerate(meshes):
+        root = jnp.full((257,), int(roots[k]), jnp.int32)
+        got = traverse_wavefront(scene, rays, root=root, tile=64)
+        want = brute_force_traverse(mesh, rays)
+        assert np.asarray(want.hit).any()
+        assert_hits_match(got, want, rays)

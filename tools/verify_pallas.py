@@ -50,3 +50,31 @@ culled = traverse_bvh8(s8, rays, BVHTraceOptions(cull_back_face=True))
 culled = jax.tree_util.tree_map(np.asarray, culled)
 wantc = jax.tree_util.tree_map(np.asarray, brute_force_traverse(mesh, rays, BVHTraceOptions(cull_back_face=True)))
 print("cull hits agree:", ((culled.prim_id != 0xFFFFFFFF) == (wantc.prim_id != 0xFFFFFFFF)).all())
+
+# prim_ids_range window filter (reference nanort.h:1054-1063)
+optr = BVHTraceOptions(prim_ids_range=(100, 900))
+ranged = jax.tree_util.tree_map(np.asarray, traverse_bvh8(s8, rays, optr))
+wantr = jax.tree_util.tree_map(np.asarray, brute_force_traverse(mesh, rays, optr))
+rh = ranged.prim_id != 0xFFFFFFFF
+wrh = wantr.prim_id != 0xFFFFFFFF
+print("range hits agree:", (rh == wrh).all(), f"({rh.sum()} hits)")
+mr = rh & wrh
+samer = ranged.prim_id[mr] == wantr.prim_id[mr]
+print(f"range prim agree: {samer.mean()*100:.2f}%",
+      "in-window:", ((ranged.prim_id[rh] >= 100) & (ranged.prim_id[rh] < 900)).all())
+
+# occlusion mode: any-hit flags + per-ray hit distance reporting
+occ = jax.tree_util.tree_map(np.asarray, traverse_bvh8(s8, rays, occlusion=True))
+oh = occ.prim_id != 0xFFFFFFFF
+print("occlusion hit agree:", (oh == wh).all())
+# reported (t, prim) must be a genuine intersection: member of the
+# K-nearest oracle list for that ray, and >= the nearest distance
+from nanort_tpu.traverse.multi_hit import brute_force_multi_hit
+mh = jax.tree_util.tree_map(np.asarray, brute_force_multi_hit(mesh, rays, 32))
+ridx = np.nonzero(oh)[0]
+member = np.zeros(ridx.shape[0], bool)
+for j, r in enumerate(ridx):
+    k = np.nonzero(mh.prim_id[r] == occ.prim_id[r])[0]
+    member[j] = k.size > 0 and np.allclose(mh.t[r, k[0]], occ.t[r], rtol=1e-5)
+print("occ (t,prim) genuine:", member.all(),
+      "occ t >= nearest:", (occ.t[oh] >= want.t[oh] * (1 - 1e-5)).all())
