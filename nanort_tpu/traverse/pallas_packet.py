@@ -72,13 +72,29 @@ def _kernel_body(
     occlusion: bool,
     prim_range: tuple | None = None,
     inkernel_exact: bool = False,
+    hbm_nodes: bool = False,
+    hbm_leafs: bool = False,
     debug_counts: bool = False,
     flag_zero_edges: bool = False,
 ):
+    out_refs = list(out_refs)
     if flag_zero_edges:
-        t_out, u_out, v_out, pid_out, z_out, stack_ref, leafq_ref = out_refs
+        t_out, u_out, v_out, pid_out, z_out = out_refs[:5]
+        del out_refs[:5]
     else:
-        t_out, u_out, v_out, pid_out, stack_ref, leafq_ref = out_refs
+        t_out, u_out, v_out, pid_out = out_refs[:4]
+        del out_refs[:4]
+    stack_ref, leafq_ref = out_refs[:2]
+    del out_refs[:2]
+    # HBM-resident tables stream through VMEM scratch rows via async DMA
+    # (scenes past the ~116 MB VMEM scoped limit: the reference's
+    # "~10M triangles efficiently" claim, README.md:19)
+    if hbm_nodes:
+        node_buf, node_sem = out_refs[:2]
+        del out_refs[:2]
+    if hbm_leafs:
+        leaf_bufs, leaf_sems = out_refs[:2]
+        del out_refs[:2]
     f32 = jnp.float32
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -270,7 +286,15 @@ def _kernel_body(
             leafq_ref[32] = leafq_ref[32] + 1
         sp = sp - 1
         idx = stack_ref[sp]
-        row = nodes_ref[pl.ds(idx, 1), :]  # (1, 128)
+        if hbm_nodes:
+            dma = pltpu.make_async_copy(
+                nodes_ref.at[pl.ds(idx, 1)], node_buf, node_sem
+            )
+            dma.start()
+            dma.wait()
+            row = node_buf[:, :]  # (1, 128)
+        else:
+            row = nodes_ref[pl.ds(idx, 1), :]  # (1, 128)
 
         m = None
         for cc in range(8):
@@ -339,11 +363,23 @@ def _kernel_body(
         """One full traversal of the packet; returns the final carry."""
         leaf_fn = make_leaf_test(exact, collect)
 
+        def _leaf_dma(q):
+            packed = leafq_ref[q]
+            return pltpu.make_async_copy(
+                leafs_ref.at[pl.ds(packed >> 4, 1)],
+                leaf_bufs.at[pl.ds(q, 1)],
+                leaf_sems.at[q],
+            )
+
         def drain_body(q, carry):
             if debug_counts:
                 leafq_ref[33] = leafq_ref[33] + 1
             packed = leafq_ref[q]
-            lrow = leafs_ref[pl.ds(packed >> 4, 1), :]
+            if hbm_leafs:
+                _leaf_dma(q).wait()
+                lrow = leaf_bufs[pl.ds(q, 1), :]
+            else:
+                lrow = leafs_ref[pl.ds(packed >> 4, 1), :]
             return leaf_fn(lrow, packed & 15, carry)
 
         def outer(state):
@@ -354,6 +390,13 @@ def _kernel_body(
                 node_step,
                 (sp, jnp.int32(0), acc[0]),
             )
+            if hbm_leafs:
+                # start every queued row's fetch first so the copies
+                # pipeline; each drain then waits only its own slot
+                def start_one(q, x):
+                    _leaf_dma(q).start()
+                    return x
+                jax.lax.fori_loop(0, lq, start_one, 0)
             acc = jax.lax.fori_loop(0, lq, drain_body, acc)
             return (sp,) + tuple(acc)
 
@@ -427,6 +470,8 @@ def _make_kernel(
     occlusion: bool,
     prim_range: tuple | None = None,
     inkernel_exact: bool = False,
+    hbm_nodes: bool = False,
+    hbm_leafs: bool = False,
     debug_counts: bool = False,
     flag_zero_edges: bool = False,
 ):
@@ -441,27 +486,44 @@ def _make_kernel(
         occlusion=occlusion,
         prim_range=prim_range,
         inkernel_exact=inkernel_exact,
+        hbm_nodes=hbm_nodes,
+        hbm_leafs=hbm_leafs,
         debug_counts=debug_counts,
         flag_zero_edges=flag_zero_edges,
     )
     ray_spec = pl.BlockSpec((None, sub, LANES), lambda i: (i, 0, 0))
-    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     n_out = 5 if flag_zero_edges else 4
     out_dtypes = [jnp.float32, jnp.float32, jnp.float32, jnp.int32,
                   jnp.int32][:n_out]
+    scratch = [
+        pltpu.SMEM((stack_size,), jnp.int32),
+        pltpu.SMEM((64,), jnp.int32),  # leaf queue (cap + 8 slack)
+    ]
+    if hbm_nodes:
+        scratch += [
+            pltpu.VMEM((1, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    if hbm_leafs:
+        scratch += [
+            pltpu.VMEM((16, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((16,)),
+        ]
     grid_call = pl.pallas_call(
         body,
         grid=(n_packets,),
-        in_specs=[full, full] + [ray_spec] * 9,
+        in_specs=[
+            hbm if hbm_nodes else vmem,
+            hbm if hbm_leafs else vmem,
+        ] + [ray_spec] * 9,
         out_specs=(ray_spec,) * n_out,
         out_shape=tuple(
             jax.ShapeDtypeStruct((n_packets, sub, LANES), d)
             for d in out_dtypes
         ),
-        scratch_shapes=[
-            pltpu.SMEM((stack_size,), jnp.int32),
-            pltpu.SMEM((64,), jnp.int32),  # leaf queue (cap + 8 slack)
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_mb * 1024 * 1024,
         ),
@@ -479,6 +541,7 @@ def traverse_bvh8(
     multi_pop: int = 4,
     occlusion: bool = False,
     exact_mode: str = "auto",
+    scene_space: str = "auto",
     debug_counts: bool = False,
     _flag_zero_edges: bool = False,
 ) -> Hits:
@@ -519,6 +582,26 @@ def traverse_bvh8(
         and exact_mode in ("auto", "twopass")
         and not (occlusion or debug_counts or _flag_zero_edges)
     )
+    # scene_space: where the BVH8 tables live.
+    #   "vmem"      — whole scene VMEM-resident (fastest, <= ~1M tris)
+    #   "hbm_leafs" — nodes in VMEM, leaf rows streamed from HBM per
+    #                 drain (pipelined async copies)
+    #   "hbm"       — both tables in HBM (10M+ tri scenes)
+    #   "auto"      — pick by table sizes against the VMEM budget
+    if scene_space == "auto":
+        node_mb = scene.nodes.size * 4 / 1e6
+        leaf_mb = scene.leafs.size * 4 / 1e6
+        budget = vmem_mb * 0.92  # leave room for ray tiles/outputs
+        if node_mb + leaf_mb <= budget:
+            scene_space = "vmem"
+        elif node_mb <= budget:
+            scene_space = "hbm_leafs"
+        else:
+            scene_space = "hbm"
+    if scene_space not in ("vmem", "hbm_leafs", "hbm"):
+        raise ValueError(f"unknown scene_space {scene_space!r}")
+    hbm_nodes = scene_space == "hbm"
+    hbm_leafs = scene_space in ("hbm", "hbm_leafs")
     bs = rays.batch_shape
     flat = jax.tree_util.tree_map(
         lambda x: x.reshape((-1,) + x.shape[len(bs):]), rays
@@ -569,6 +652,8 @@ def traverse_bvh8(
         occlusion,
         prim_range,
         inkernel_exact,
+        hbm_nodes,
+        hbm_leafs,
         debug_counts,
         _flag_zero_edges,
     )
