@@ -1,0 +1,237 @@
+"""Tracked benchmark matrix (BASELINE.md configs A/B + capacity rows).
+
+Writes BENCH_MATRIX.json (list of rows) and prints one JSON line per row.
+The driver-facing single-line benchmark stays bench.py; this is the wider
+matrix the round reports track (VERDICT r1 #8).
+
+Rows (each skippable via NANORT_MATRIX_SKIP=name1,name2):
+  headline    coherent primary rays, 1M tris, 8192^2 (bench.py config)
+  config_a    objrender-style 512^2 AOV pass + 8-sample AO (cornell+sphere;
+              reference examples/objrender/main.cc:582-587)
+  config_b    path tracer 512^2, SPP (default 100), <=10 bounces, NEE+RR
+              (reference examples/path_tracer/main.cc:31-33)
+  incoherent  fully-random rays on the 1M-tri scene (wavefront engine)
+  tenm        coherent primaries on a 10M-tri scene (HBM scene space)
+
+Run on real TPU: nohup python bench_matrix.py > /tmp/matrix.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+SKIP = set(
+    s for s in os.environ.get("NANORT_MATRIX_SKIP", "").split(",") if s
+)
+ROWS = []
+
+
+def emit(name, value, unit, **extra):
+    row = {"metric": name, "value": round(value, 3), "unit": unit, **extra}
+    ROWS.append(row)
+    print(json.dumps(row), flush=True)
+
+
+def readback(x):
+    return float(np.asarray(x).reshape(-1)[0])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nanort_tpu import BVHBuildOptions, build_triangle_bvh, make_rays
+    from nanort_tpu.build.bvh8 import collapse_bvh8
+    from nanort_tpu.io.procedural import (
+        make_cornell_box,
+        make_cornell_pt_scene,
+        make_subdivided_sphere_scene,
+        make_uv_sphere,
+        merge_meshes,
+    )
+    from nanort_tpu.models.cameras import look_at, pinhole_rays
+    from nanort_tpu.ops.triangle import TriangleMesh
+    from nanort_tpu.traverse.pallas_packet import (
+        tile_image_rays,
+        traverse_bvh8,
+    )
+
+    opt8 = BVHBuildOptions(min_leaf_primitives=8, max_leaf_primitives=8)
+
+    # ---- headline: 1M tris, 8192^2 coherent primaries ----
+    if "headline" not in SKIP:
+        res = 8192
+        v, f = make_subdivided_sphere_scene(1_000_000)
+        mesh = TriangleMesh(vertices=v, faces=f)
+        t0 = time.perf_counter()
+        bvh, _ = build_triangle_bvh(mesh, opt8)
+        build_s = time.perf_counter() - t0
+        emit("sah_build_1mtri", len(f) / build_s / 1e6, "Mtris/s")
+        s8 = collapse_bvh8(bvh, v, f)
+        s8 = s8._replace(
+            nodes=jax.device_put(jnp.asarray(s8.nodes)),
+            leafs=jax.device_put(jnp.asarray(s8.leafs)),
+        )
+        cam = look_at(eye=(0, 0, 2.2), center=(0, 0, 0),
+                      width=res, height=res, fov=60.0)
+        rays_t, _ = tile_image_rays(pinhole_rays(cam), 128, 64)
+        h = traverse_bvh8(s8, rays_t)
+        float(h.t.min())
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            h = traverse_bvh8(s8, rays_t)
+            float(h.t.min())
+            ts.append(time.perf_counter() - t0)
+        emit("coherent_primary_mrays_per_s_1mtri", res * res / min(ts) / 1e6,
+             "Mrays/s", vs_north_star=round(res * res / min(ts) / 1e6 / 200, 3))
+        del s8, bvh, mesh
+
+    # ---- config A: objrender 512^2 AOVs + AO ----
+    if "config_a" not in SKIP:
+        from nanort_tpu.models.objrender import render_ao
+
+        v, f = merge_meshes(make_cornell_box(2.0), make_uv_sphere(64, 128, 0.6))
+        mesh = TriangleMesh(vertices=jnp.asarray(v), faces=jnp.asarray(f))
+        bvh, _ = build_triangle_bvh(mesh, opt8)
+        s8 = collapse_bvh8(bvh, v, f)
+        s8 = s8._replace(nodes=jnp.asarray(s8.nodes),
+                         leafs=jnp.asarray(s8.leafs))
+        cam = look_at(eye=(0, 0.0, 5.0), center=(0, 0, 0),
+                      width=512, height=512, fov=45.0)
+        rays = pinhole_rays(cam)
+        key = jax.random.PRNGKey(7)
+        n_samples = 8
+
+        def run_a():
+            ao, hits = render_ao(bvh, mesh, rays, key,
+                                 n_samples=n_samples, scene8=s8)
+            return readback(ao.min()), hits
+
+        t0 = time.perf_counter()
+        run_a()
+        print(f"# config_a first {time.perf_counter()-t0:.0f}s",
+              file=sys.stderr, flush=True)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_a()
+            ts.append(time.perf_counter() - t0)
+        total_rays = 512 * 512 * (1 + n_samples)
+        emit("objrender_ao_512", min(ts), "s",
+             effective_mrays=round(total_rays / min(ts) / 1e6, 2),
+             tris=len(f), ao_samples=n_samples)
+
+    # ---- config B: path tracer 512^2 x SPP ----
+    if "config_b" not in SKIP:
+        from nanort_tpu.models.path_tracer import (
+            make_pt_scene,
+            render_path_traced,
+        )
+
+        spp = int(os.environ.get("NANORT_MATRIX_SPP", 100))
+        sv, sf, mids, mats = make_cornell_pt_scene(2.0)
+        pts = make_pt_scene(sv, sf, mids, mats, engine="pallas")
+        cam = look_at(eye=(0, 0.0, 5.0), center=(0, 0, 0),
+                      width=512, height=512, fov=45.0)
+        rays = pinhole_rays(cam)
+        key = jax.random.PRNGKey(3)
+
+        def run_b(n):
+            img = render_path_traced(pts, rays, key, spp=n, max_bounces=10,
+                                     tile=16384)
+            return readback(img.mean())
+
+        t0 = time.perf_counter()
+        run_b(1)
+        print(f"# config_b first (1 spp) {time.perf_counter()-t0:.0f}s",
+              file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        run_b(spp)
+        dur = time.perf_counter() - t0
+        emit("path_tracer_512_spp", dur, "s", spp=spp,
+             samples_per_s=round(512 * 512 * spp / dur / 1e6, 2))
+
+    # ---- incoherent: fully-random rays, wavefront engine ----
+    if "incoherent" not in SKIP:
+        from nanort_tpu.traverse.packed import pack_scene
+        from nanort_tpu.traverse.ray_sort import sort_rays
+        from nanort_tpu.traverse.wavefront import traverse_wavefront
+
+        v, f = make_subdivided_sphere_scene(1_000_000)
+        mesh = TriangleMesh(vertices=v, faces=f)
+        bvh, _ = build_triangle_bvh(mesh, opt8)
+        scene = pack_scene(bvh, v, f)
+        scene = scene.__class__(
+            jax.device_put(jnp.asarray(scene.nodes)),
+            jax.device_put(jnp.asarray(scene.soup)),
+            scene.num_nodes, scene.num_prims,
+        )
+        R = 4_194_304
+        rng = np.random.default_rng(11)
+        lo, hi = np.asarray(bvh.bmin[0]), np.asarray(bvh.bmax[0])
+        org = rng.uniform(lo, hi, (R, 3)).astype(np.float32)
+        d = rng.normal(size=(R, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rays = make_rays(org, d.astype(np.float32))
+        srt, _, unsort = sort_rays(rays, lo, hi)
+        jax.block_until_ready(srt)
+        tile = int(os.environ.get("NANORT_MATRIX_INC_TILE", 16384))
+
+        def run_i():
+            h = unsort(traverse_wavefront(scene, srt, max_leaf=8, tile=tile))
+            return float(h.t.min())
+
+        run_i()
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_i()
+            ts.append(time.perf_counter() - t0)
+        emit("incoherent_random_mrays_per_s_1mtri", R / min(ts) / 1e6,
+             "Mrays/s", engine="wavefront_sorted", tile=tile)
+
+    # ---- 10M tris via HBM scene space ----
+    if "tenm" not in SKIP:
+        res = int(os.environ.get("NANORT_MATRIX_TENM_RES", 4096))
+        v, f = make_subdivided_sphere_scene(10_000_000)
+        mesh = TriangleMesh(vertices=v, faces=f)
+        t0 = time.perf_counter()
+        bvh, _ = build_triangle_bvh(mesh, opt8)
+        build_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        s8 = collapse_bvh8(bvh, v, f)
+        collapse_s = time.perf_counter() - t0
+        print(f"# 10M build {build_s:.1f}s collapse {collapse_s:.1f}s",
+              file=sys.stderr, flush=True)
+        s8 = s8._replace(
+            nodes=jax.device_put(jnp.asarray(s8.nodes)),
+            leafs=jax.device_put(jnp.asarray(s8.leafs)),
+        )
+        cam = look_at(eye=(0, 0, 2.2), center=(0, 0, 0),
+                      width=res, height=res, fov=60.0)
+        rays_t, _ = tile_image_rays(pinhole_rays(cam), min(128, res), 64)
+        h = traverse_bvh8(s8, rays_t)  # scene_space auto -> hbm
+        float(h.t.min())
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            h = traverse_bvh8(s8, rays_t)
+            float(h.t.min())
+            ts.append(time.perf_counter() - t0)
+        emit("coherent_primary_mrays_per_s_10mtri", res * res / min(ts) / 1e6,
+             "Mrays/s", build_s=round(build_s, 1),
+             collapse_s=round(collapse_s, 1), res=res)
+
+    with open("BENCH_MATRIX.json", "w") as fh:
+        json.dump(ROWS, fh, indent=1)
+    print("# wrote BENCH_MATRIX.json", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -7,7 +7,6 @@ Usage: python examples/viewer.py [seconds] [camera_type]
 import sys, time
 sys.path.insert(0, ".")
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 import nanort_tpu as nrt

@@ -19,7 +19,6 @@ Conventions (matching the reference):
 
 from __future__ import annotations
 
-import dataclasses
 import math
 from typing import Callable, NamedTuple
 

@@ -33,8 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.options import BVHTraceOptions
-from ..core.ray import Rays, make_rays
+from ..core.ray import Rays
 from ..ops.triangle import TriangleMesh
 from ..traverse.packed import PackedScene
 from ..traverse.wavefront import traverse_wavefront

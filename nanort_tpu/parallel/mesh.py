@@ -23,7 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.options import BVHTraceOptions, INVALID_PRIM_ID
-from ..core.ray import Hits, Rays
+from ..core.ray import Rays
 from ..ops.triangle import TriangleMesh
 from ..traverse import stack as _stack
 from ..ops import triangle as tri

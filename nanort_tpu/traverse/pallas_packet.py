@@ -41,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..build.bvh8 import BVH8Scene, MAX_LEAF_TRIS
+from ..build.bvh8 import BVH8Scene
 from ..core.options import BVHTraceOptions, INVALID_PRIM_ID
 from ..core.ray import Hits, Rays
 

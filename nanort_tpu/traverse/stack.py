@@ -24,7 +24,7 @@ callers whose BVH arrays are traced.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,6 @@ scan (the protocol the reference expresses as templates, SURVEY.md §2.4)."""
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from nanort_tpu import make_rays
 from nanort_tpu.ops.cylinder import (

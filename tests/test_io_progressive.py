@@ -1,10 +1,8 @@
 """OBJ loader round-trips + progressive render loop contract."""
 
-import os
 import time
 
 import numpy as np
-import pytest
 
 from nanort_tpu.io.obj import load_obj, save_obj
 from nanort_tpu.io.procedural import make_uv_sphere

@@ -4,7 +4,7 @@ import numpy as np
 
 from nanort_tpu import make_rays
 from nanort_tpu.io.heightmap import heightmap_to_mesh
-from nanort_tpu.io.las import LasCloud, load_las, save_las, to_spheres
+from nanort_tpu.io.las import load_las, save_las, to_spheres
 from nanort_tpu.ops.sphere import build_sphere_bvh, traverse_spheres
 
 

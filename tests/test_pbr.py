@@ -3,7 +3,7 @@
 import jax.numpy as jnp
 import numpy as np
 
-from nanort_tpu import build_triangle_bvh, make_rays
+from nanort_tpu import build_triangle_bvh
 from nanort_tpu.io.procedural import make_cornell_box, make_uv_sphere, merge_meshes
 from nanort_tpu.models.cameras import look_at, pinhole_rays
 from nanort_tpu.models.pbr import PBRMaterial, render_pbr, shade_pbr

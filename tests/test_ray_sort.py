@@ -3,8 +3,7 @@
 import jax.numpy as jnp
 import numpy as np
 
-from nanort_tpu import BVHBuildOptions, build_triangle_bvh, make_rays
-from nanort_tpu.build.bvh8 import collapse_bvh8
+from nanort_tpu import build_triangle_bvh, make_rays
 from nanort_tpu.io.procedural import make_uv_sphere
 from nanort_tpu.ops.triangle import TriangleMesh
 from nanort_tpu.traverse.ray_sort import ray_sort_keys, sort_rays

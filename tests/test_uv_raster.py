@@ -3,7 +3,7 @@
 import jax.numpy as jnp
 import numpy as np
 
-from nanort_tpu.models.uv_raster import make_uv_mesh, rasterize_uv_atlas
+from nanort_tpu.models.uv_raster import rasterize_uv_atlas
 from nanort_tpu.ops.triangle import TriangleMesh
 
 

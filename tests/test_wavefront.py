@@ -5,8 +5,7 @@ import numpy as np
 import pytest
 
 from nanort_tpu import (
-    BVHBuildOptions,
-    BVHTraceOptions,
+        BVHTraceOptions,
     brute_force_traverse,
     build_triangle_bvh,
     make_rays,
