@@ -62,6 +62,7 @@ def _kernel_body(
     dx_ref, dy_ref, dz_ref,
     mint_ref, maxt_ref,
     skip_ref,
+    root_ref,
     *out_refs,
     cull_back_face: bool,
     exact_edge_fallback: bool,
@@ -74,6 +75,8 @@ def _kernel_body(
     inkernel_exact: bool = False,
     hbm_nodes: bool = False,
     hbm_leafs: bool = False,
+    dual_pop: bool = False,
+    use_roots: bool = False,
     debug_counts: bool = False,
     flag_zero_edges: bool = False,
 ):
@@ -159,7 +162,11 @@ def _kernel_body(
     sy = comp(dx, dy, dz, ky) / dkz
     sz = 1.0 / dkz
 
-    stack_ref[0] = 0
+    # per-packet start node (treelet binning roots the packet at its
+    # bin's subtree; see traverse/treelet.py) — 0 (the global root) by
+    # default
+    root0 = root_ref[0, 0] if use_roots else 0
+    stack_ref[0] = root0
 
     # packet-representative direction signs for near-first child ordering
     # (rays arrive coherence-sorted, so ray 0's octant stands for the
@@ -280,22 +287,21 @@ def _kernel_body(
         leafq_ref[32] = 0  # node pops (slack SMEM slots as counters)
         leafq_ref[33] = 0  # leaf drains
 
-    def node_step(c):
-        sp, lq, t_b = c
-        if debug_counts:
-            leafq_ref[32] = leafq_ref[32] + 1
-        sp = sp - 1
-        idx = stack_ref[sp]
+    dummy_idx = nodes_ref.shape[0] - 1  # park row: empty boxes never hit
+
+    def _fetch_row(idx, slot):
         if hbm_nodes:
             dma = pltpu.make_async_copy(
-                nodes_ref.at[pl.ds(idx, 1)], node_buf, node_sem
+                nodes_ref.at[pl.ds(idx, 1)],
+                node_buf.at[pl.ds(slot, 1)],
+                node_sem,
             )
             dma.start()
             dma.wait()
-            row = node_buf[:, :]  # (1, 128)
-        else:
-            row = nodes_ref[pl.ds(idx, 1), :]  # (1, 128)
+            return node_buf[pl.ds(slot, 1), :]  # (1, 128)
+        return nodes_ref[pl.ds(idx, 1), :]  # (1, 128)
 
+    def _slab8(row, t_b, base):
         m = None
         for cc in range(8):
             b0x, b0y, b0z = row[0, 8 * cc], row[0, 8 * cc + 1], row[0, 8 * cc + 2]
@@ -320,18 +326,11 @@ def _kernel_body(
             tmax = jnp.where(t1x < tmax, t1x, tmax)
             tmax = jnp.where(t1y < tmax, t1y, tmax)
             tmax = jnp.where(t1z < tmax, t1z, tmax)
-            hit_c = (tmin <= tmax).astype(jnp.int32) << cc
+            hit_c = (tmin <= tmax).astype(jnp.int32) << (base + cc)
             m = hit_c if m is None else m | hit_c
-        # OR-reduce across the tile (VPU roll tree), ONE scalar move
-        for sh in (64, 32, 16, 8, 4, 2, 1):
-            m = m | pltpu.roll(m, sh, axis=1)
-        sub_n = m.shape[0]
-        sh = 1
-        while sh < sub_n:
-            m = m | pltpu.roll(m, sh, axis=0)
-            sh *= 2
-        mask = m[0, 0]
+        return m
 
+    def _push8(row, mask, base, sp, lq):
         # near-first pop order: children are build-sorted near-to-far
         # along the node's order axis (bvh8.py lane 80); LIFO stack means
         # push far-first, so iterate descending for positive direction
@@ -343,7 +342,7 @@ def _kernel_body(
         )
         for j in range(8):
             cc = jnp.where(neg, j, 7 - j)
-            bit = (mask >> cc) & 1
+            bit = (mask >> (base + cc)) & 1
             meta = jnp.where(neg, row[0, 64 + j], row[0, 71 - j]).astype(
                 jnp.int32
             )
@@ -357,6 +356,41 @@ def _kernel_body(
             sp = sp + bit * internal
             leafq_ref[lq] = ((-meta - 1) << 4) | (cnt & 15)
             lq = lq + bit * (1 - internal)
+        return sp, lq
+
+    def node_step(c):
+        sp, lq, t_b = c
+        if debug_counts:
+            leafq_ref[32] = leafq_ref[32] + 1
+        sp = sp - 1
+        idx = stack_ref[sp]
+        row = _fetch_row(idx, 0)
+        if not dual_pop:
+            m = _slab8(row, t_b, 0)
+        else:
+            # pop a second entry when available (dummy row otherwise):
+            # 16 slab tests share ONE mask reduction + scalar sync — the
+            # ~800ns vector->scalar sync per step is the node-phase cost
+            has2 = (sp > 0).astype(jnp.int32)
+            sp = sp - has2
+            idx2 = jnp.where(has2 == 1, stack_ref[sp], dummy_idx)
+            row2 = _fetch_row(idx2, 1)
+            m = _slab8(row, t_b, 0) | _slab8(row2, t_b, 8)
+        # OR-reduce across the tile (VPU roll tree), ONE scalar move
+        for sh in (64, 32, 16, 8, 4, 2, 1):
+            m = m | pltpu.roll(m, sh, axis=1)
+        sub_n = m.shape[0]
+        sh = 1
+        while sh < sub_n:
+            m = m | pltpu.roll(m, sh, axis=0)
+            sh *= 2
+        mask = m[0, 0]
+
+        if dual_pop:
+            # push the second (farther) node's children first so the
+            # nearer node's children pop first
+            sp, lq = _push8(row2, mask, 8, sp, lq)
+        sp, lq = _push8(row, mask, 0, sp, lq)
         return sp, lq, t_b
 
     def run_pass(exact: bool, collect: bool):
@@ -433,7 +467,7 @@ def _kernel_body(
         # variant lost its 11% kernel win to tunnel orchestration)
         @pl.when(zf != 0)
         def _retrace():
-            stack_ref[0] = 0  # pass 1 may have overwritten the root slot
+            stack_ref[0] = root0  # pass 1 may have overwritten slot 0
             t2, u2, v2, p2 = run_pass(exact=True, collect=False)
             t_out[:] = t2
             u_out[:] = u2
@@ -472,6 +506,8 @@ def _make_kernel(
     inkernel_exact: bool = False,
     hbm_nodes: bool = False,
     hbm_leafs: bool = False,
+    dual_pop: bool = False,
+    use_roots: bool = False,
     debug_counts: bool = False,
     flag_zero_edges: bool = False,
 ):
@@ -488,6 +524,8 @@ def _make_kernel(
         inkernel_exact=inkernel_exact,
         hbm_nodes=hbm_nodes,
         hbm_leafs=hbm_leafs,
+        dual_pop=dual_pop,
+        use_roots=use_roots,
         debug_counts=debug_counts,
         flag_zero_edges=flag_zero_edges,
     )
@@ -503,7 +541,7 @@ def _make_kernel(
     ]
     if hbm_nodes:
         scratch += [
-            pltpu.VMEM((1, LANES), jnp.float32),
+            pltpu.VMEM((2, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ]
     if hbm_leafs:
@@ -511,13 +549,14 @@ def _make_kernel(
             pltpu.VMEM((16, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((16,)),
         ]
+    root_spec = pl.BlockSpec((None, 1), lambda i: (i, 0))
     grid_call = pl.pallas_call(
         body,
         grid=(n_packets,),
         in_specs=[
             hbm if hbm_nodes else vmem,
             hbm if hbm_leafs else vmem,
-        ] + [ray_spec] * 9,
+        ] + [ray_spec] * 9 + [root_spec],
         out_specs=(ray_spec,) * n_out,
         out_shape=tuple(
             jax.ShapeDtypeStruct((n_packets, sub, LANES), d)
@@ -542,6 +581,8 @@ def traverse_bvh8(
     occlusion: bool = False,
     exact_mode: str = "auto",
     scene_space: str = "auto",
+    dual_pop: bool = True,
+    packet_roots=None,
     debug_counts: bool = False,
     _flag_zero_edges: bool = False,
 ) -> Hits:
@@ -639,6 +680,11 @@ def traverse_bvh8(
     else:
         skip = jnp.zeros((n_packets, sub, LANES), jnp.int32)
 
+    use_roots = packet_roots is not None
+    if use_roots:
+        roots_arr = jnp.asarray(packet_roots, jnp.int32).reshape(n_packets, 1)
+    else:
+        roots_arr = jnp.zeros((n_packets, 1), jnp.int32)
     kern = _make_kernel(
         n_packets,
         sub,
@@ -654,13 +700,15 @@ def traverse_bvh8(
         inkernel_exact,
         hbm_nodes,
         hbm_leafs,
+        dual_pop,
+        use_roots,
         debug_counts,
         _flag_zero_edges,
     )
     outs = kern(
         jnp.asarray(scene.nodes),
         jnp.asarray(scene.leafs),
-        ox, oy, oz, dx, dy, dz, mint, maxt, skip,
+        ox, oy, oz, dx, dy, dz, mint, maxt, skip, roots_arr,
     )
     t, u, v, pid = outs[:4]
 
