@@ -77,11 +77,16 @@ def _node_children(row):
         )
 
 
-def make_treelets(scene: BVH8Scene, target: int = 64) -> Treelets:
+def make_treelets(scene: BVH8Scene, target: int = 64):
     """Greedy frontier expansion: repeatedly split the largest-area
-    internal frontier node whose children are all internal, until
-    ``target`` treelets (or no expandable node remains)."""
+    frontier node until ``target`` treelets. Internal children join the
+    frontier directly; leaf children become treelets rooted at synthetic
+    single-child node rows appended to the table (inserted before the
+    dummy park row so existing ids are untouched).
+
+    Returns (Treelets, scene_with_synthetic_rows)."""
     nodes = np.asarray(scene.nodes)
+    n_real = scene.num_nodes  # excludes the trailing dummy park row
 
     def node_box(nid):
         los, his = [], []
@@ -94,27 +99,70 @@ def make_treelets(scene: BVH8Scene, target: int = 64) -> Treelets:
         d = np.maximum(box[1] - box[0], 0.0)
         return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
 
-    frontier = [(0, node_box(0))]
+    # frontier items: (root_id_or_None, box, leaf_spec_or_None)
+    frontier = [(0, node_box(0), None)]
     while len(frontier) < target:
         best, best_a = -1, -1.0
-        for i, (nid, box) in enumerate(frontier):
+        for i, (nid, box, leaf) in enumerate(frontier):
+            if leaf is not None:
+                continue  # leaf treelets don't expand
             kids = list(_node_children(nodes[nid]))
-            if any(k[3] for k in kids):  # has leaf children: not expandable
-                continue
-            if len(frontier) - 1 + len(kids) > target:
+            if len(frontier) - 1 + len(kids) > target or len(kids) < 2:
                 continue
             a = area(box)
             if a > best_a:
                 best, best_a = i, a
         if best < 0:
             break
-        nid, _ = frontier.pop(best)
-        for meta, lo, hi, _ in _node_children(nodes[nid]):
-            frontier.append((meta, (lo, hi)))
-    roots = np.asarray([nid for nid, _ in frontier], np.int32)
-    bmin = np.stack([b[0] for _, b in frontier]).astype(np.float32)
-    bmax = np.stack([b[1] for _, b in frontier]).astype(np.float32)
-    return Treelets(roots, bmin, bmax, len(frontier))
+        nid, _, _ = frontier.pop(best)
+        row = nodes[nid]
+        for c in range(8):
+            if row[8 * c] >= EMPTY_BIG:
+                continue
+            meta = int(row[64 + c])
+            box = (row[8 * c: 8 * c + 3].copy(),
+                   row[8 * c + 3: 8 * c + 6].copy())
+            if meta >= 0:
+                frontier.append((meta, box, None))
+            else:
+                cnt = int(row[72 + c])
+                frontier.append((None, box, (-meta - 1, cnt)))
+
+    # synthesize rows for leaf treelets
+    synth = []
+    roots = []
+    for nid, box, leaf in frontier:
+        if leaf is None:
+            roots.append(nid)
+            continue
+        leaf_row, cnt = leaf
+        r = np.zeros(128, np.float32)
+        r[0:64:8] = EMPTY_BIG
+        r[1:64:8] = EMPTY_BIG
+        r[2:64:8] = EMPTY_BIG
+        r[3:64:8] = -EMPTY_BIG
+        r[4:64:8] = -EMPTY_BIG
+        r[5:64:8] = -EMPTY_BIG
+        r[0:3] = box[0]
+        r[3:6] = box[1]
+        r[64] = np.float32(-(leaf_row + 1))
+        r[72] = np.float32(cnt)
+        roots.append(n_real + len(synth))
+        synth.append(r)
+    if synth:
+        nodes_aug = np.concatenate(
+            [nodes[:n_real], np.stack(synth), nodes[n_real:]]
+        )
+        scene = scene._replace(nodes=nodes_aug)
+        # existing child ids all point below n_real; only the dummy park
+        # row moved (the kernel re-derives it from the table length)
+    tl = Treelets(
+        roots=np.asarray(roots, np.int32),
+        bmin=np.stack([b[0] for _, b, _ in frontier]).astype(np.float32),
+        bmax=np.stack([b[1] for _, b, _ in frontier]).astype(np.float32),
+        count=len(frontier),
+    )
+    return tl, scene
 
 
 @functools.partial(jax.jit, static_argnames=("K", "chunk"))
@@ -262,7 +310,7 @@ def traverse_bvh8_binned(
     from .ray_sort import ray_sort_keys
 
     if treelets is None:
-        treelets = make_treelets(scene, n_treelets)
+        treelets, scene = make_treelets(scene, n_treelets)
     T = treelets.count
     packet = sub * LANES
 
@@ -284,7 +332,8 @@ def traverse_bvh8_binned(
         K,
     )
 
-    # worst-case bin padding R + T*(packet-1), plus one dead packet\n    total = (-(-R // packet) + T + 1) * packet
+    # worst-case bin padding R + T*(packet-1), plus one dead packet
+    total = (-(-R // packet) + T + 1) * packet
     best = Hits(
         t=flat.max_t,
         u=jnp.zeros_like(flat.max_t),

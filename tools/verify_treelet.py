@@ -37,7 +37,7 @@ v, f = merge_meshes(make_cornell_box(2.0), make_uv_sphere(16, 32, 0.5))
 mesh = TriangleMesh(vertices=jnp.asarray(v), faces=jnp.asarray(f))
 bvh, _ = build_triangle_bvh(mesh, opt8)
 s8 = collapse_bvh8(bvh, v, f)
-tl = make_treelets(s8, 16)
+tl, s8a = make_treelets(s8, 16)
 print(f"small scene: {tl.count} treelets, roots {tl.roots[:8]}...", flush=True)
 
 rng = np.random.default_rng(5)
@@ -49,7 +49,7 @@ d /= np.linalg.norm(d, axis=-1, keepdims=True)
 rays = make_rays(org, d.astype(np.float32))
 
 t0 = time.perf_counter()
-got = traverse_bvh8_binned(s8, rays, treelets=tl, K=8, sub=8)
+got = traverse_bvh8_binned(s8a, rays, treelets=tl, K=8, sub=8)
 got = jax.tree_util.tree_map(np.asarray, got)
 print(f"binned first call {time.perf_counter()-t0:.0f}s", flush=True)
 want = jax.tree_util.tree_map(np.asarray, brute_force_traverse(mesh, rays))
@@ -79,16 +79,17 @@ d /= np.linalg.norm(d, axis=-1, keepdims=True)
 rays = make_rays(org, d.astype(np.float32))
 
 for T, K, sub in ((64, 6, 8), (128, 6, 8), (64, 6, 16)):
-    tl = make_treelets(s8, T)
+    tl, s8a = make_treelets(s8, T)
+    s8a = s8a._replace(nodes=jax.device_put(jnp.asarray(s8a.nodes)))
     t0 = time.perf_counter()
-    h = traverse_bvh8_binned(s8, rays, treelets=tl, K=K, sub=sub)
+    h = traverse_bvh8_binned(s8a, rays, treelets=tl, K=K, sub=sub)
     float(h.t.min())
     print(f"T={tl.count} K={K} sub={sub}: first {time.perf_counter()-t0:.0f}s",
           flush=True)
     ts = []
     for _ in range(2):
         t0 = time.perf_counter()
-        h = traverse_bvh8_binned(s8, rays, treelets=tl, K=K, sub=sub)
+        h = traverse_bvh8_binned(s8a, rays, treelets=tl, K=K, sub=sub)
         float(h.t.min())
         ts.append(time.perf_counter() - t0)
     hitfrac = float(np.asarray(h.hit).mean())
