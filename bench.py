@@ -23,6 +23,15 @@ Env knobs:
   NANORT_BENCH_LEAF   (default 8)
   NANORT_BENCH_SUB    (default 32 -> 4096-ray packets)
   NANORT_BENCH_PATH   ("pallas" | "wavefront", default pallas)
+  NANORT_BENCH_ENGINE ("turbo" | "turbo_refit" | "watertight", default
+                       turbo: Woop unit-triangle leaf kernel — same prim
+                       selection as watertight on 99.997% of rays (rest
+                       are equal-t edge ties), t within 4 ulp on ~97.6%
+                       / rel 1.4e-4 worst case. "turbo_refit" adds a
+                       watertight re-intersection of each selected prim
+                       (bit-exact records, costs a 67M-row gather).
+                       "watertight" is the end-to-end reference-parity
+                       kernel.)
 """
 
 from __future__ import annotations
@@ -76,25 +85,53 @@ def main():
     n_rays = res * res
 
     if path == "pallas":
-        from nanort_tpu.build.bvh8 import collapse_bvh8
+        from nanort_tpu.build.bvh8 import build_woop_leafs, collapse_bvh8
         from nanort_tpu.traverse.pallas_packet import (
+            refit_hits_watertight,
             tile_image_rays,
             traverse_bvh8,
         )
 
+        # "turbo" (default): Woop unit-triangle leaf kernel (+24%
+        # measured; docstring above has the measured deviation stats —
+        # prim selection differs only on equal-t edge ties).
+        # "turbo_refit" re-intersects each ray's selected prim with the
+        # reference watertight formula for bit-exact per-prim records.
+        # "watertight" runs the fully reference-parity kernel end to end.
+        engine = os.environ.get("NANORT_BENCH_ENGINE", "turbo")
         s8 = collapse_bvh8(bvh, v, f)
         s8 = s8._replace(
             nodes=jax.device_put(jnp.asarray(s8.nodes)),
             leafs=jax.device_put(jnp.asarray(s8.leafs)),
+            leafs_woop=(
+                jax.device_put(jnp.asarray(build_woop_leafs(bvh, v, f)))
+                if engine.startswith("turbo") else None
+            ),
         )
         tile_h = int(os.environ.get("NANORT_BENCH_TILE_H", 128))  # 128x64 pixel tiles: best measured packet footprint
         tile_w = min((8 * sub * 32) // tile_h, res)
         rays_t, _ = tile_image_rays(rays, min(tile_h, res), tile_w)
 
-        def run():
-            h = traverse_bvh8(s8, rays_t, sub=sub)
-            # scalar readback forces completion through the tunnel
-            return float(h.t.min()), h
+        if engine == "turbo":
+            def run():
+                h = traverse_bvh8(s8, rays_t, sub=sub,
+                                  intersector="woop")
+                # scalar readback forces completion through the tunnel
+                return float(h.t.min()), h
+        elif engine == "turbo_refit":
+            refit = jax.jit(
+                lambda r, h: refit_hits_watertight(mesh, r, h)
+            )
+
+            def run():
+                h = traverse_bvh8(s8, rays_t, sub=sub,
+                                  intersector="woop")
+                h = refit(rays_t, h)
+                return float(h.t.min()), h
+        else:
+            def run():
+                h = traverse_bvh8(s8, rays_t, sub=sub)
+                return float(h.t.min()), h
     else:
         from nanort_tpu.traverse.packed import pack_scene
         from nanort_tpu.traverse.wavefront import traverse_wavefront

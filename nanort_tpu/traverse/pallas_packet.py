@@ -34,6 +34,7 @@ with deferred leaf batching.
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -62,21 +63,24 @@ def _kernel_body(
     dx_ref, dy_ref, dz_ref,
     mint_ref, maxt_ref,
     skip_ref,
-    root_ref,
+    pkt_ref,
     *out_refs,
     cull_back_face: bool,
     exact_edge_fallback: bool,
     use_skip: bool,
     stack_size: int,
     leaf_unroll: int,
-    multi_pop: int,
+    pop_n: int,
     occlusion: bool,
     prim_range: tuple | None = None,
     inkernel_exact: bool = False,
     hbm_nodes: bool = False,
     hbm_leafs: bool = False,
-    dual_pop: bool = False,
     use_roots: bool = False,
+    frustum: bool = False,
+    t_sync_every: int = 2,
+    lq_cap: int = 1,
+    intersector: str = "watertight",
     debug_counts: bool = False,
     flag_zero_edges: bool = False,
 ):
@@ -164,8 +168,10 @@ def _kernel_body(
 
     # per-packet start node (treelet binning roots the packet at its
     # bin's subtree; see traverse/treelet.py) — 0 (the global root) by
-    # default
-    root0 = root_ref[0, 0] if use_roots else 0
+    # default. Per-packet scalars ride in one 128-lane SMEM row (lane 16,
+    # stored as an exact float integer): TPU BlockSpecs require the last
+    # dim 128-divisible even for SMEM blocks.
+    root0 = pkt_ref[0, 16].astype(jnp.int32) if use_roots else 0
     stack_ref[0] = root0
 
     # packet-representative direction signs for near-first child ordering
@@ -192,6 +198,56 @@ def _kernel_body(
         return (p1 - p2) + (e1 - e2)
 
     def make_leaf_test(exact: bool, collect: bool):
+        if intersector == "woop":
+            # turbo intersector: per-tri baked unit-triangle transforms
+            # (build/bvh8.build_woop_leafs) — ~40% fewer leaf ops than
+            # the watertight test; not bit-parity with the reference
+            def leaf_test_woop(lrow, cnt, carry):
+                t_b, u_b, v_b, p_b = carry
+                for ti in range(leaf_unroll):
+                    ba = 12 * ti
+                    # translate-then-rotate: o' = M (o - p0) keeps the
+                    # origin-relative terms well-conditioned (the fused
+                    # b = -M p0 form cancels catastrophically when the
+                    # scene sits far from the world origin)
+                    rx = ox - lrow[0, ba + 9]
+                    ry = oy - lrow[0, ba + 10]
+                    rz = oz - lrow[0, ba + 11]
+                    m20, m21, m22 = (lrow[0, ba + 6], lrow[0, ba + 7],
+                                     lrow[0, ba + 8])
+                    opz = m20 * rx + m21 * ry + m22 * rz
+                    dpz = m20 * dx + m21 * dy + m22 * dz
+                    rcp = 1.0 / dpz  # +-inf on plane-parallel; NaN folds
+                    tt = -opz * rcp  # to invalid below
+                    m00, m01, m02 = (lrow[0, ba], lrow[0, ba + 1],
+                                     lrow[0, ba + 2])
+                    uu = (m00 * rx + m01 * ry + m02 * rz
+                          ) + tt * (m00 * dx + m01 * dy + m02 * dz)
+                    m10, m11, m12 = (lrow[0, ba + 3], lrow[0, ba + 4],
+                                     lrow[0, ba + 5])
+                    vv = (m10 * rx + m11 * ry + m12 * rz
+                          ) + tt * (m10 * dx + m11 * dy + m12 * dz)
+                    pid_t = lrow[0, 96 + ti].astype(jnp.int32)
+                    valid = (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                    valid = valid & (tt <= t_b) & (tt >= min_t) & (ti < cnt)
+                    if cull_back_face:
+                        valid = valid & (dpz < 0.0)
+                    if use_skip:
+                        valid = valid & (pid_t != skip_pid)
+                    if prim_range is not None:
+                        valid = valid & (pid_t >= prim_range[0]) & (
+                            pid_t < prim_range[1]
+                        )
+                    t_b = jnp.where(valid, tt, t_b)
+                    u_b = jnp.where(valid, uu, u_b)
+                    v_b = jnp.where(valid, vv, v_b)
+                    p_b = jnp.where(valid, pid_t, p_b)
+                    if occlusion:
+                        t_b = jnp.where(valid, -tt - 1.0, t_b)
+                return t_b, u_b, v_b, p_b
+
+            return leaf_test_woop
+
         def leaf_test(lrow, cnt, carry):
             # accumulators live in vector registers across the whole drain
             # loop (VMEM read/write round trips per leaf measurably stall)
@@ -281,7 +337,7 @@ def _kernel_body(
     # scalar while conditions. Phase B drains the leaf queue with the
     # t/u/v/pid accumulators carried in vector registers.
     # ------------------------------------------------------------------
-    LQ_CAP = 1
+    LQ_CAP = lq_cap
 
     if debug_counts:
         leafq_ref[32] = 0  # node pops (slack SMEM slots as counters)
@@ -364,18 +420,19 @@ def _kernel_body(
             leafq_ref[32] = leafq_ref[32] + 1
         sp = sp - 1
         idx = stack_ref[sp]
-        row = _fetch_row(idx, 0)
-        if not dual_pop:
-            m = _slab8(row, t_b, 0)
-        else:
-            # pop a second entry when available (dummy row otherwise):
-            # 16 slab tests share ONE mask reduction + scalar sync — the
-            # ~800ns vector->scalar sync per step is the node-phase cost
-            has2 = (sp > 0).astype(jnp.int32)
-            sp = sp - has2
-            idx2 = jnp.where(has2 == 1, stack_ref[sp], dummy_idx)
-            row2 = _fetch_row(idx2, 1)
-            m = _slab8(row, t_b, 0) | _slab8(row2, t_b, 8)
+        rows = [_fetch_row(idx, 0)]
+        # pop up to pop_n-1 further entries when available (dummy row
+        # otherwise): 8*pop_n slab tests share ONE mask reduction +
+        # scalar sync — the ~800ns vector->scalar sync per step is the
+        # node-phase cost
+        for k in range(1, pop_n):
+            hask = (sp > 0).astype(jnp.int32)
+            sp = sp - hask
+            idxk = jnp.where(hask == 1, stack_ref[sp], dummy_idx)
+            rows.append(_fetch_row(idxk, k))
+        m = _slab8(rows[0], t_b, 0)
+        for k in range(1, pop_n):
+            m = m | _slab8(rows[k], t_b, 8 * k)
         # OR-reduce across the tile (VPU roll tree), ONE scalar move
         for sh in (64, 32, 16, 8, 4, 2, 1):
             m = m | pltpu.roll(m, sh, axis=1)
@@ -386,12 +443,77 @@ def _kernel_body(
             sh *= 2
         mask = m[0, 0]
 
-        if dual_pop:
-            # push the second (farther) node's children first so the
-            # nearer node's children pop first
-            sp, lq = _push8(row2, mask, 8, sp, lq)
-        sp, lq = _push8(row, mask, 0, sp, lq)
+        # push later-popped (farther) nodes' children first so the
+        # nearest node's children pop first
+        for k in range(pop_n - 1, 0, -1):
+            sp, lq = _push8(rows[k], mask, 8 * k, sp, lq)
+        sp, lq = _push8(rows[0], mask, 0, sp, lq)
         return sp, lq, t_b
+
+    # ------------------------------------------------------------------
+    # Frustum node phase (closest-hit only): the per-ray slab vote is
+    # OR-reduced to one packet bit anyway, so a CONSERVATIVE per-packet
+    # interval test gives the same visit decision without any vector work
+    # or vector->scalar sync. The packet's origin/inv-dir interval bounds
+    # arrive precomputed (XLA-side, one reduce over the megabatch) in an
+    # SMEM row; the node phase then runs entirely on the scalar unit:
+    # float lane extracts of the node row + ~30 scalar flops per child.
+    # Per-ray precision is preserved where it matters — the leaf tests.
+    # The packet's t upper bound T (max over rays of best-t) is refreshed
+    # from the vector accumulator every t_sync_every drain batches (one
+    # sync each; stale T is conservative, never wrong).
+    # ------------------------------------------------------------------
+    if frustum:
+        f_olo = tuple(pkt_ref[0, ax] for ax in range(3))
+        f_ohi = tuple(pkt_ref[0, 3 + ax] for ax in range(3))
+        f_ilo = tuple(pkt_ref[0, 6 + ax] for ax in range(3))
+        f_ihi = tuple(pkt_ref[0, 9 + ax] for ax in range(3))
+        f_mlo = pkt_ref[0, 12]
+        f_t0 = pkt_ref[0, 13]
+        f_coh = pkt_ref[0, 14]
+
+    def node_step_frustum(c):
+        sp, lq, T = c
+        if debug_counts:
+            leafq_ref[32] = leafq_ref[32] + 1
+        sp = sp - 1
+        idx = stack_ref[sp]
+        row = _fetch_row(idx, 0)
+        mask = None
+        for cc in range(8):
+            tmin = f_mlo
+            tmax = T
+            # empty slots carry inverted boxes; the per-ray slab fails
+            # them via sign-ordered lo/hi selection, but a naive interval
+            # product does NOT (products of two huge opposite-sign
+            # endpoints span everything) — reject them explicitly, or an
+            # empty slot's meta (0.0) gets pushed as "internal node 0"
+            # and the traversal re-pushes the root forever
+            live = row[0, 8 * cc] <= row[0, 8 * cc + 3]
+            for ax in range(3):
+                slo = row[0, 8 * cc + ax] - f_ohi[ax]
+                shi = row[0, 8 * cc + 3 + ax] - f_olo[ax]
+                p1 = slo * f_ilo[ax]
+                p2 = slo * f_ihi[ax]
+                p3 = shi * f_ilo[ax]
+                p4 = shi * f_ihi[ax]
+                tlo = jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4))
+                thi = jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4))
+                tmin = jnp.maximum(tmin, tlo)
+                tmax = jnp.minimum(tmax, thi * MM)
+            bit = ((tmin <= tmax) & live).astype(jnp.int32) << cc
+            mask = bit if mask is None else mask | bit
+        sp, lq = _push8(row, mask, 0, sp, lq)
+        return sp, lq, T
+
+    def _fold_max_scalar(x):
+        for sh in (64, 32, 16, 8, 4, 2, 1):
+            x = jnp.maximum(x, pltpu.roll(x, sh, axis=1))
+        sh = 1
+        while sh < x.shape[0]:
+            x = jnp.maximum(x, pltpu.roll(x, sh, axis=0))
+            sh *= 2
+        return x[0, 0]
 
     def run_pass(exact: bool, collect: bool):
         """One full traversal of the packet; returns the final carry."""
@@ -416,14 +538,7 @@ def _kernel_body(
                 lrow = leafs_ref[pl.ds(packed >> 4, 1), :]
             return leaf_fn(lrow, packed & 15, carry)
 
-        def outer(state):
-            sp = state[0]
-            acc = state[1:]
-            sp, lq, _ = jax.lax.while_loop(
-                lambda c: (c[0] > 0) & (c[1] < LQ_CAP),
-                node_step,
-                (sp, jnp.int32(0), acc[0]),
-            )
+        def _start_queued(lq):
             if hbm_leafs:
                 # start every queued row's fetch first so the copies
                 # pipeline; each drain then waits only its own slot
@@ -431,17 +546,83 @@ def _kernel_body(
                     _leaf_dma(q).start()
                     return x
                 jax.lax.fori_loop(0, lq, start_one, 0)
-            acc = jax.lax.fori_loop(0, lq, drain_body, acc)
-            return (sp,) + tuple(acc)
 
         init = [max_t, jnp.zeros_like(max_t), jnp.zeros_like(max_t),
                 jnp.full(max_t.shape, -1, jnp.int32)]
         if collect:
             init.append(jnp.zeros(max_t.shape, jnp.int32))
-        fin = jax.lax.while_loop(
-            lambda st: st[0] > 0, outer, (jnp.int32(1), *init)
-        )
-        return fin[1:]
+
+        def outer_perray(state):
+            sp = state[0]
+            acc = state[1:]
+            sp, lq, _ = jax.lax.while_loop(
+                lambda c: (c[0] > 0) & (c[1] < LQ_CAP),
+                node_step,
+                (sp, jnp.int32(0), acc[0]),
+            )
+            _start_queued(lq)
+            acc = jax.lax.fori_loop(0, lq, drain_body, acc)
+            return (sp,) + tuple(acc)
+
+        def run_perray():
+            fin = jax.lax.while_loop(
+                lambda st: st[0] > 0, outer_perray, (jnp.int32(1), *init)
+            )
+            return fin[1:]
+
+        if not frustum:
+            return run_perray()
+
+        def outer_frustum(state):
+            sp, it, T = state[0], state[1], state[2]
+            acc = state[3:]
+            sp, lq, T = jax.lax.while_loop(
+                lambda c: (c[0] > 0) & (c[1] < LQ_CAP),
+                node_step_frustum,
+                (sp, jnp.int32(0), T),
+            )
+            _start_queued(lq)
+            acc = jax.lax.fori_loop(0, lq, drain_body, acc)
+            it = it + 1
+            if t_sync_every != 0:
+                # tighten T from the per-ray accumulator. Each tighten
+                # is a vector->scalar read, which stalls the scalar
+                # unit's runahead (the TPU scalar core issues ahead of
+                # the VPU; with no such reads the whole scalar node
+                # phase overlaps the vector drains) — so positive
+                # values sync every N drain batches, NEGATIVE values
+                # sync exactly once at batch N and never again
+                # (ordered near-first traversal makes the first few
+                # batches carry most of the final t). Degenerate rays
+                # (sanitized to min_t=+inf) report t=+inf and must not
+                # pin T there.
+                def _tighten():
+                    live = mint_ref[:] < inf
+                    tb = jnp.where(live, acc[0], -inf)
+                    return jnp.minimum(T, _fold_max_scalar(tb))
+
+                if t_sync_every > 0:
+                    do = it % t_sync_every == 0
+                else:
+                    do = it == -t_sync_every
+                T = jax.lax.cond(do, _tighten, lambda: T)
+            return (sp, it, T) + tuple(acc)
+
+        def run_frustum():
+            fin = jax.lax.while_loop(
+                lambda st: st[0] > 0,
+                outer_frustum,
+                (jnp.int32(1), jnp.int32(0), f_t0, *init),
+            )
+            return fin[3:]
+
+        # per-packet engine choice: the frustum interval vote is only
+        # efficient when the packet is genuinely coherent (tight
+        # direction cone + small origin box — the XLA-side bit in the
+        # pkt row); a hemisphere-sampled bounce packet would make the
+        # conservative frustum cover most of the tree. Incoherent
+        # packets take the per-ray vote, whose union is exact.
+        return jax.lax.cond(f_coh > 0, run_frustum, run_perray)
 
     if inkernel_exact:
         # pass 1: fast edges (no Dekker recompute), flag rays that hit a
@@ -500,16 +681,20 @@ def _make_kernel(
     stack_size: int,
     vmem_mb: int,
     leaf_unroll: int,
-    multi_pop: int,
+    pop_n: int,
     occlusion: bool,
     prim_range: tuple | None = None,
     inkernel_exact: bool = False,
     hbm_nodes: bool = False,
     hbm_leafs: bool = False,
-    dual_pop: bool = False,
     use_roots: bool = False,
+    frustum: bool = False,
+    t_sync_every: int = 2,
+    lq_cap: int = 1,
+    intersector: str = "watertight",
     debug_counts: bool = False,
     flag_zero_edges: bool = False,
+    interpret: bool = False,
 ):
     body = functools.partial(
         _kernel_body,
@@ -518,14 +703,17 @@ def _make_kernel(
         use_skip=use_skip,
         stack_size=stack_size,
         leaf_unroll=leaf_unroll,
-        multi_pop=multi_pop,
+        pop_n=pop_n,
         occlusion=occlusion,
         prim_range=prim_range,
         inkernel_exact=inkernel_exact,
         hbm_nodes=hbm_nodes,
         hbm_leafs=hbm_leafs,
-        dual_pop=dual_pop,
         use_roots=use_roots,
+        frustum=frustum,
+        t_sync_every=t_sync_every,
+        lq_cap=lq_cap,
+        intersector=intersector,
         debug_counts=debug_counts,
         flag_zero_edges=flag_zero_edges,
     )
@@ -541,7 +729,7 @@ def _make_kernel(
     ]
     if hbm_nodes:
         scratch += [
-            pltpu.VMEM((2, LANES), jnp.float32),
+            pltpu.VMEM((max(2, pop_n), LANES), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ]
     if hbm_leafs:
@@ -549,14 +737,18 @@ def _make_kernel(
             pltpu.VMEM((16, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((16,)),
         ]
-    root_spec = pl.BlockSpec((None, 1), lambda i: (i, 0))
+    # per-packet scalar row (frustum bounds + root) rides in a 128-lane
+    # SMEM block; the (1, 128) trailing block shape matches the array's
+    # trailing dims exactly, which is the only legal sub-8-sublane form
+    pkt_spec = pl.BlockSpec((None, 1, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.SMEM)
     grid_call = pl.pallas_call(
         body,
         grid=(n_packets,),
         in_specs=[
             hbm if hbm_nodes else vmem,
             hbm if hbm_leafs else vmem,
-        ] + [ray_spec] * 9 + [root_spec],
+        ] + [ray_spec] * 9 + [pkt_spec],
         out_specs=(ray_spec,) * n_out,
         out_shape=tuple(
             jax.ShapeDtypeStruct((n_packets, sub, LANES), d)
@@ -566,8 +758,106 @@ def _make_kernel(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_mb * 1024 * 1024,
         ),
+        interpret=interpret,
     )
     return jax.jit(grid_call)
+
+
+def _frustum_bounds(ox, oy, oz, dx, dy, dz, mint, maxt, scene_diag):
+    """Per-packet conservative interval bounds for the frustum node phase.
+
+    One XLA reduce over the prepped (n_packets, sub, LANES) ray tiles.
+    Row layout, (n_packets, 16) f32:
+      [0:3]  origin lower bound        [3:6]  origin upper bound
+      [6:9]  inv-dir lower bound       [9:12] inv-dir upper bound
+      [12]   min over rays of min_t    [13]   max over rays of max_t
+      [14]   coherence bit: 1.0 when the packet's direction cone is
+             tight (min cos to the mean direction >= ~15 deg) and its
+             origin box is small vs the scene — the kernel only takes
+             the frustum node phase then; hemisphere-sampled bounce
+             packets fall back to the exact per-ray vote
+
+    Degenerate rays (the ones the kernel sanitizes into guaranteed
+    misses) are excluded from every fold; a packet of only degenerate
+    rays gets T0 = -inf and visits nothing. Axes where any live ray's
+    direction component is ~0 get a full-range inverse interval plus a
+    widened origin interval, so the interval product can never falsely
+    cull a box whose face-plane contains an axis-parallel ray (the
+    per-ray robust test treats that axis as unconstrained via its
+    NaN folds; the interval bound must stay a superset of it).
+    """
+    BIGF = jnp.float32(3.0e38)
+    inf = jnp.float32(np.inf)
+    eps = jnp.float32(np.finfo(np.float32).eps)
+    okr = (
+        (jnp.abs(ox) < BIGF) & (jnp.abs(oy) < BIGF) & (jnp.abs(oz) < BIGF)
+        & (jnp.abs(dx) < BIGF) & (jnp.abs(dy) < BIGF) & (jnp.abs(dz) < BIGF)
+        & (jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz) > 0)
+    )
+
+    def red_min(x, fill):
+        return jnp.min(jnp.where(okr, x, fill), axis=(1, 2))
+
+    def red_max(x, fill):
+        return jnp.max(jnp.where(okr, x, fill), axis=(1, 2))
+
+    o_los, o_his, i_los, i_his = [], [], [], []
+    for o_c, d_c in ((ox, dx), (oy, dy), (oz, dz)):
+        tiny = jnp.abs(d_c) < eps
+        i_c = jnp.clip(
+            jnp.where(
+                tiny,
+                jnp.where(d_c < 0, -BIGF, BIGF),
+                1.0 / jnp.where(tiny, 1.0, d_c),
+            ),
+            -BIGF,
+            BIGF,
+        )
+        tiny_any = jnp.any(okr & tiny, axis=(1, 2))
+        o_lo = red_min(o_c, inf)
+        o_hi = red_max(o_c, -inf)
+        bump = jnp.where(
+            tiny_any,
+            1e-4 * (1.0 + jnp.maximum(jnp.abs(o_lo), jnp.abs(o_hi))),
+            0.0,
+        )
+        o_los.append(o_lo - bump)
+        o_his.append(o_hi + bump)
+        i_los.append(jnp.where(tiny_any, -BIGF, red_min(i_c, inf)))
+        i_his.append(jnp.where(tiny_any, BIGF, red_max(i_c, -inf)))
+    m_lo = red_min(mint, inf)
+    t0 = jnp.minimum(red_max(maxt, -inf), BIGF)
+
+    # direction-cone coherence: mean direction per packet, then the
+    # minimum cosine of any live ray against it (immune to the axis
+    # sign-straddles every centered camera tile has)
+    n_live = jnp.maximum(
+        jnp.sum(okr.astype(jnp.float32), axis=(1, 2)), 1.0
+    )
+    dn = 1.0 / jnp.sqrt(
+        jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-30)
+    )
+    mx = jnp.sum(jnp.where(okr, dx * dn, 0.0), axis=(1, 2)) / n_live
+    my = jnp.sum(jnp.where(okr, dy * dn, 0.0), axis=(1, 2)) / n_live
+    mz = jnp.sum(jnp.where(okr, dz * dn, 0.0), axis=(1, 2)) / n_live
+    mnorm = jnp.sqrt(jnp.maximum(mx * mx + my * my + mz * mz, 1e-30))
+    mx, my, mz = mx / mnorm, my / mnorm, mz / mnorm
+    cosd = (
+        dx * dn * mx[:, None, None]
+        + dy * dn * my[:, None, None]
+        + dz * dn * mz[:, None, None]
+    )
+    cmin = red_min(cosd, inf)
+    o_diag = jnp.stack(
+        [hi - lo for lo, hi in zip(o_los, o_his)], axis=1
+    )
+    small_org = jnp.max(o_diag, axis=1) <= 0.25 * scene_diag
+    coh = ((cmin >= 0.966) & small_org).astype(jnp.float32)
+
+    zero = jnp.zeros_like(m_lo)
+    return jnp.stack(
+        o_los + o_his + i_los + i_his + [m_lo, t0, coh, zero], axis=1
+    )
 
 
 def traverse_bvh8(
@@ -577,13 +867,18 @@ def traverse_bvh8(
     skip_prim_id=None,
     sub: int = DEF_SUB,
     vmem_mb: int = 116,
-    multi_pop: int = 4,
     occlusion: bool = False,
     exact_mode: str = "auto",
     scene_space: str = "auto",
     dual_pop: bool = True,
+    pop_n: int | None = None,
+    frustum: str | bool = "auto",
+    t_sync_every: int = 2,
+    lq_cap: int = 1,
+    intersector: str = "watertight",
     packet_roots=None,
     debug_counts: bool = False,
+    interpret: bool = False,
     _flag_zero_edges: bool = False,
 ) -> Hits:
     """Trace rays against a VMEM-resident BVH8 scene (fp32).
@@ -618,8 +913,27 @@ def traverse_bvh8(
     #               mode needing the one-pass carry layout is active.
     if exact_mode not in ("auto", "single", "twopass"):
         raise ValueError(f"unknown exact_mode {exact_mode!r}")
+    if intersector not in ("watertight", "woop"):
+        raise ValueError(f"unknown intersector {intersector!r}")
+    exact_edge = options.exact_edge_fallback
+    if intersector == "woop":
+        # turbo mode: unit-triangle transforms have no U/V/W edge
+        # functions — the Dekker exact-edge machinery does not apply
+        if _flag_zero_edges:
+            raise ValueError("flag_zero_edges requires the watertight "
+                             "intersector")
+        if scene.leafs_woop is None:
+            raise ValueError(
+                "intersector='woop' needs the Woop leaf table: build it "
+                "with build.bvh8.build_woop_leafs and attach via "
+                "scene._replace(leafs_woop=...)"
+            )
+        if scene.max_leaf > 8:
+            raise ValueError("woop rows hold <= 8 triangles; rebuild "
+                             "with max_leaf_primitives<=8")
+        exact_edge = False
     inkernel_exact = (
-        options.exact_edge_fallback
+        exact_edge
         and exact_mode in ("auto", "twopass")
         and not (occlusion or debug_counts or _flag_zero_edges)
     )
@@ -680,35 +994,93 @@ def traverse_bvh8(
     else:
         skip = jnp.zeros((n_packets, sub, LANES), jnp.int32)
 
+    if pop_n is None:
+        pop_n = 2 if dual_pop else 1
+    if pop_n > 2:
+        # 3/4-way pop kernels currently die in the TPU backend with an
+        # INTERNAL fault (reproduced on v5e, 2026-08); 2 is also the
+        # measured optimum — clamp (pop_n is a pure perf knob, results
+        # are identical at any value)
+        warnings.warn("pop_n > 2 faults the v5e backend; clamping to 2")
+        pop_n = 2
+    if lq_cap > 2:
+        # same story: lq_cap >= 4 kernels fault at runtime (fresh-process
+        # repro) and lq_cap=2 already measures within noise of 1
+        warnings.warn("lq_cap > 2 faults the v5e backend; clamping to 2")
+        lq_cap = 2
+    # frustum: replace the per-ray node-phase slab vote with a
+    # conservative per-packet interval test run on the scalar unit (the
+    # per-ray vote is OR-reduced to one bit anyway). Closest-hit only:
+    # occlusion's early-exit relies on occluded rays leaving the vote.
+    # Measured on the 1M-tri bench it LOSES to the dual-pop vector vote
+    # (123 vs 129 Mrays/s watertight, 138 vs 160 woop): the scalar-unit
+    # interval tests serialize against the VPU instead of overlapping
+    # it, so "auto" resolves to off; the engine stays available (exact —
+    # zero hit diffs measured) for sparse/teaser scenes where the
+    # conservative cull pays.
+    if frustum == "auto":
+        frustum = False
+    if frustum:
+        # scene diagonal from the root row's child boxes (empty slots
+        # carry inverted huge boxes; min/max over real children win)
+        nd = jnp.asarray(scene.nodes)[0, :48].reshape(8, 6)
+        real = nd[:, 0] <= nd[:, 3]
+        s_lo = jnp.min(jnp.where(real[:, None], nd[:, 0:3], np.inf), axis=0)
+        s_hi = jnp.max(jnp.where(real[:, None], nd[:, 3:6], -np.inf), axis=0)
+        scene_diag = jnp.max(s_hi - s_lo)
+        pkt_arr = _frustum_bounds(
+            ox, oy, oz, dx, dy, dz, mint, maxt, scene_diag
+        )
+    else:
+        pkt_arr = jnp.zeros((n_packets, 16), jnp.float32)
     use_roots = packet_roots is not None
     if use_roots:
-        roots_arr = jnp.asarray(packet_roots, jnp.int32).reshape(n_packets, 1)
+        roots_f = jnp.asarray(packet_roots, jnp.float32).reshape(
+            n_packets, 1
+        )
     else:
-        roots_arr = jnp.zeros((n_packets, 1), jnp.int32)
+        roots_f = jnp.zeros((n_packets, 1), jnp.float32)
+    # one 128-lane SMEM row per packet: [0:14] frustum bounds, [16] root
+    pkt_arr = jnp.concatenate(
+        [pkt_arr, roots_f, jnp.zeros((n_packets, LANES - 17), jnp.float32)],
+        axis=1,
+    ).reshape(n_packets, 1, LANES)
     kern = _make_kernel(
         n_packets,
         sub,
         options.cull_back_face,
-        options.exact_edge_fallback,
+        exact_edge,
         use_skip,
-        max(64, 16 * scene.depth) + 8 * multi_pop,
+        # worst case ~7 live siblings per level per in-flight DFS line;
+        # pop_n>1 interleaves up to pop_n lines (quad-pop at the old
+        # 16*depth bound overflowed the SMEM stack and faulted the chip)
+        max(64, 8 * scene.depth * max(2, pop_n) + 64),
         vmem_mb,
         scene.max_leaf,
-        multi_pop,
+        pop_n,
         occlusion,
         prim_range,
         inkernel_exact,
         hbm_nodes,
         hbm_leafs,
-        dual_pop,
         use_roots,
+        bool(frustum),
+        t_sync_every,
+        lq_cap,
+        intersector,
         debug_counts,
         _flag_zero_edges,
+        # NOTE: interpret=True nominally lets CPU cover this kernel, but
+        # the Pallas interpreter is impractically slow on it (a 256-ray
+        # toy config exceeds 9 min); TPU verification stays with
+        # tools/verify_pallas.py + bench.py
+        interpret=interpret,
     )
     outs = kern(
         jnp.asarray(scene.nodes),
-        jnp.asarray(scene.leafs),
-        ox, oy, oz, dx, dy, dz, mint, maxt, skip, roots_arr,
+        jnp.asarray(scene.leafs_woop if intersector == "woop"
+                    else scene.leafs),
+        ox, oy, oz, dx, dy, dz, mint, maxt, skip, pkt_arr,
     )
     t, u, v, pid = outs[:4]
 
@@ -809,6 +1181,116 @@ def traverse_bvh8_exact(
         (-1,) + full.shape[len(bs):]
     ).at[idx].set(part).reshape(full.shape)
     return jax.tree_util.tree_map(merge, hits, fixed)
+
+
+def refit_hits_watertight(mesh, rays: Rays, hits: Hits,
+                          options: BVHTraceOptions = BVHTraceOptions()
+                          ) -> Hits:
+    """Recompute each hit's (t, u, v) with the reference watertight
+    intersector (nanort.h:993-1229) against the already-selected
+    triangle — one triangle per ray, a cheap XLA pass.
+
+    Pairs with ``intersector="woop"``: the turbo kernel picks the prim,
+    this pass restores bit-exact watertight records for it, so the only
+    remaining deviation from the reference is prim *selection* on
+    edge-crossing rays (equal-t ties). If the watertight re-test rejects
+    the woop hit (possible only within an ulp of an edge), the woop
+    record is kept as-is.
+    """
+    from ..ops.triangle import _exact_prod_diff
+
+    # everything runs on (X, 128)-shaped component tiles: (N, 3)-vector
+    # intermediates and 2-D gather indices provoke XLA-TPU layouts that
+    # pad the size-3/size-1 dims to 128 lanes (a 34 GB copy at 67M rays)
+    bs = rays.org.shape[:-1]
+    R = int(np.prod(bs)) if bs else 1
+
+    def tile1(x, fill):
+        x = x.reshape(-1)
+        pad = (-R) % LANES
+        x = jnp.pad(x, (0, pad), constant_values=fill)
+        return x.reshape(-1, LANES)
+
+    untile = lambda x: x.reshape(-1)[:R].reshape(bs)
+
+    hit = tile1(hits.prim_id != jnp.uint32(INVALID_PRIM_ID), False)
+    pid = jnp.where(hit, tile1(hits.prim_id, 0).astype(jnp.int32), 0)
+    faces = jnp.asarray(mesh.faces)
+    verts = jnp.asarray(mesh.vertices)
+    # ONE row gather of a packed (n_tris, 16) triangle table: TPU lowers
+    # scalar gathers at ~100M idx/s but contiguous small-row gathers an
+    # order of magnitude faster (measured 12 scalar takes ~7s vs one
+    # 16-wide row take ~0.9s at 67M rays)
+    tri9 = verts[faces].reshape(-1, 9).astype(jnp.float32)
+    tri16 = jnp.pad(tri9, ((0, 0), (0, 7)))
+    g = jnp.take(tri16, pid, axis=0)
+    (p0x, p0y, p0z), (p1x, p1y, p1z), (p2x, p2y, p2z) = (
+        tuple(g[..., 3 * k + c] for c in range(3)) for k in range(3)
+    )
+    ox = tile1(rays.org[..., 0], 0.0)
+    oy = tile1(rays.org[..., 1], 0.0)
+    oz = tile1(rays.org[..., 2], 0.0)
+    dx = tile1(rays.dir[..., 0], 1.0)
+    dy = tile1(rays.dir[..., 1], 1.0)
+    dz = tile1(rays.dir[..., 2], 1.0)
+    min_t = tile1(rays.min_t, 1.0)
+    max_t = tile1(rays.max_t, 0.0)
+
+    # shear coefficients, same tie-break chain as ops.triangle.ray_coeffs
+    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+    kz = jnp.where(ady > adx, 1, 0)
+    amax = jnp.where(ady > adx, ady, adx)
+    kz = jnp.where(adz > amax, 2, kz).astype(jnp.int32)
+    kx = (kz + 1) % 3
+    ky = (kx + 1) % 3
+
+    def comp(vx, vy, vz, k):
+        return jnp.where(k == 0, vx, jnp.where(k == 1, vy, vz))
+
+    dkz = comp(dx, dy, dz, kz)
+    negk = dkz < 0
+    kx, ky = jnp.where(negk, ky, kx), jnp.where(negk, kx, ky)
+    sx = comp(dx, dy, dz, kx) / dkz
+    sy = comp(dx, dy, dz, ky) / dkz
+    sz = 1.0 / dkz
+
+    ax_, ay_, az_ = p0x - ox, p0y - oy, p0z - oz
+    bx_, by_, bz_ = p1x - ox, p1y - oy, p1z - oz
+    cx_, cy_, cz_ = p2x - ox, p2y - oy, p2z - oz
+    Az = comp(ax_, ay_, az_, kz)
+    Bz = comp(bx_, by_, bz_, kz)
+    Cz = comp(cx_, cy_, cz_, kz)
+    Ax = comp(ax_, ay_, az_, kx) - sx * Az
+    Ay = comp(ax_, ay_, az_, ky) - sy * Az
+    Bx = comp(bx_, by_, bz_, kx) - sx * Bz
+    By = comp(bx_, by_, bz_, ky) - sy * Bz
+    Cx = comp(cx_, cy_, cz_, kx) - sx * Cz
+    Cy = comp(cx_, cy_, cz_, ky) - sy * Cz
+
+    U = Cx * By - Cy * Bx
+    V = Ax * Cy - Ay * Cx
+    W = Bx * Ay - By * Ax
+    if options.exact_edge_fallback:
+        zmask = (U == 0.0) | (V == 0.0) | (W == 0.0)
+        U = jnp.where(zmask, _exact_prod_diff(Cx, By, Cy, Bx), U)
+        V = jnp.where(zmask, _exact_prod_diff(Ax, Cy, Ay, Cx), V)
+        W = jnp.where(zmask, _exact_prod_diff(Bx, Ay, By, Ax), W)
+    any_neg = (U < 0.0) | (V < 0.0) | (W < 0.0)
+    any_pos = (U > 0.0) | (V > 0.0) | (W > 0.0)
+    if options.cull_back_face:
+        edge_ok = ~any_neg
+    else:
+        edge_ok = ~(any_neg & any_pos)
+    det = U + V + W
+    det_ok = det != 0.0
+    rcp = 1.0 / jnp.where(det_ok, det, 1.0)
+    tt = (U * (sz * Az) + V * (sz * Bz) + W * (sz * Cz)) * rcp
+    valid = hit & edge_ok & det_ok & (tt <= max_t) & (tt >= min_t)
+
+    t_new = untile(jnp.where(valid, tt, tile1(hits.t, 0.0)))
+    u_new = untile(jnp.where(valid, V * rcp, tile1(hits.u, 0.0)))
+    v_new = untile(jnp.where(valid, W * rcp, tile1(hits.v, 0.0)))
+    return Hits(t=t_new, u=u_new, v=v_new, prim_id=hits.prim_id)
 
 
 def tile_image_rays(rays: Rays, tile_h: int = 32, tile_w: int = 32):

@@ -199,20 +199,24 @@ def _auto_max_stack(bvh) -> int:
     """Stack slots sized from the actual tree depth (never overflows).
 
     Falls back to the reference's 512 (nanort.h:63) when the BVH arrays
-    are traced values whose depth can't be inspected host-side."""
+    are traced values whose depth can't be inspected host-side.
+
+    The memo entry pins the flag array it is keyed on: ``id()`` values
+    are recycled after garbage collection, so a bare id key can hand a
+    fresh (deeper) tree another tree's stack size — silent corruption."""
     from ..core.bvh import required_max_stack
 
     key = id(bvh.flag)
     hit = _STACK_SIZE_MEMO.get(key)
-    if hit is not None:
-        return hit
+    if hit is not None and hit[0] is bvh.flag:
+        return hit[1]
     try:
         need = required_max_stack(bvh)
     except Exception:  # traced arrays inside jit/shard_map
         return 512
-    if len(_STACK_SIZE_MEMO) > 64:
+    if len(_STACK_SIZE_MEMO) > 16:
         _STACK_SIZE_MEMO.clear()
-    _STACK_SIZE_MEMO[key] = need
+    _STACK_SIZE_MEMO[key] = (bvh.flag, need)
     return need
 
 

@@ -104,3 +104,71 @@ def test_oversized_leaf_rejected():
     bvh, _ = build_triangle_bvh(mesh, opts)
     with pytest.raises(ValueError):
         collapse_bvh8(bvh, v, f)
+
+
+def test_woop_leaf_table_math():
+    """The Woop unit-triangle transform (build_woop_leafs) must reproduce
+    the watertight intersector's (t, u, v) to fp32 tolerance when applied
+    with the kernel's formula o' = M (o - p0), d' = M d,
+    t = -o'z / d'z, u = o'x + t d'x, v = o'y + t d'y."""
+    from nanort_tpu.build.bvh8 import build_woop_leafs
+
+    rng = np.random.default_rng(7)
+    v, f = make_uv_sphere(12, 24)
+    bvh, s8 = _build8(v, f)
+    rows = build_woop_leafs(bvh, v, f)
+    assert rows.shape == (s8.num_leaf_rows, 128)
+
+    # walk every (row, slot), fire a ray at a random interior point of
+    # that triangle, and compare against direct geometric evaluation
+    nodes = s8.nodes
+    checked = 0
+    for r in range(s8.num_leaf_rows):
+        pids = rows[r, 96:104].astype(np.int32)
+        for t_i in range(8):
+            M = rows[r, 12 * t_i : 12 * t_i + 9].reshape(3, 3)
+            p0 = rows[r, 12 * t_i + 9 : 12 * t_i + 12]
+            if not np.any(M):
+                continue
+            pid = pids[t_i]
+            tri = v[f[pid]].astype(np.float64)
+            uv = rng.uniform(0.05, 0.4, 2)
+            target = (
+                (1 - uv[0] - uv[1]) * tri[0]
+                + uv[0] * tri[1]
+                + uv[1] * tri[2]
+            )
+            org = target + np.array([0.3, -0.2, 1.7])
+            d = (target - org).astype(np.float32)
+            org = org.astype(np.float32)
+            rel = org - p0
+            op = M @ rel
+            dp = M @ d
+            tt = -op[2] / dp[2]
+            uu = op[0] + tt * dp[0]
+            vv = op[1] + tt * dp[1]
+            assert abs(tt - 1.0) < 1e-4
+            assert abs(uu - uv[0]) < 1e-4
+            assert abs(vv - uv[1]) < 1e-4
+            checked += 1
+    assert checked > 100
+
+
+def test_woop_degenerate_triangle_never_hits():
+    from nanort_tpu.build.bvh8 import build_woop_leafs
+
+    v = np.array(
+        [[0, 0, 0], [1, 0, 0], [2, 0, 0],  # collinear: zero area
+         [0, 0, 1], [1, 0, 1], [0, 1, 1]], np.float32
+    )
+    f = np.array([[0, 1, 2], [3, 4, 5]], np.int64)
+    mesh = TriangleMesh(vertices=v, faces=f)
+    opts = BVHBuildOptions(min_leaf_primitives=2, max_leaf_primitives=2)
+    bvh, _ = build_triangle_bvh(mesh, opts)
+    rows = build_woop_leafs(bvh, v, f)
+    pids = rows[0, 96:104].astype(np.int32)
+    slot = int(np.nonzero(pids == 0)[0][0])
+    M = rows[0, 12 * slot : 12 * slot + 9].reshape(3, 3)
+    # degenerate triangle gets the zero matrix: d'z == 0 for every ray,
+    # t = -o'z/d'z is inf/NaN and the unit-triangle test can never pass
+    np.testing.assert_array_equal(M, 0.0)
