@@ -5,7 +5,9 @@ The driver-facing single-line benchmark stays bench.py; this is the wider
 matrix the round reports track (VERDICT r1 #8).
 
 Rows (each skippable via NANORT_MATRIX_SKIP=name1,name2):
-  headline    coherent primary rays, 1M tris, 8192^2 (bench.py config)
+  headline    coherent primary rays, 1M tris, 8192^2 (bench.py config) —
+              one row per engine: turbo (Woop leaf kernel, the bench.py
+              default) and watertight (end-to-end reference parity)
   config_a    objrender-style 512^2 AOV pass + 8-sample AO (cornell+sphere;
               reference examples/objrender/main.cc:582-587)
   config_b    path tracer 512^2, SPP (default 100), <=10 bounces, NEE+RR
@@ -72,24 +74,32 @@ def main():
         bvh, _ = build_triangle_bvh(mesh, opt8)
         build_s = time.perf_counter() - t0
         emit("sah_build_1mtri", len(f) / build_s / 1e6, "Mtris/s")
+        from nanort_tpu.build.bvh8 import build_woop_leafs
+
         s8 = collapse_bvh8(bvh, v, f)
         s8 = s8._replace(
             nodes=jax.device_put(jnp.asarray(s8.nodes)),
             leafs=jax.device_put(jnp.asarray(s8.leafs)),
+            leafs_woop=jax.device_put(
+                jnp.asarray(build_woop_leafs(bvh, v, f))
+            ),
         )
         cam = look_at(eye=(0, 0, 2.2), center=(0, 0, 0),
                       width=res, height=res, fov=60.0)
         rays_t, _ = tile_image_rays(pinhole_rays(cam), 128, 64)
-        h = traverse_bvh8(s8, rays_t)
-        float(h.t.min())
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            h = traverse_bvh8(s8, rays_t)
+        for engine, kw in (("turbo", dict(intersector="woop")),
+                           ("watertight", {})):
+            h = traverse_bvh8(s8, rays_t, **kw)
             float(h.t.min())
-            ts.append(time.perf_counter() - t0)
-        emit("coherent_primary_mrays_per_s_1mtri", res * res / min(ts) / 1e6,
-             "Mrays/s", vs_north_star=round(res * res / min(ts) / 1e6 / 200, 3))
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                h = traverse_bvh8(s8, rays_t, **kw)
+                float(h.t.min())
+                ts.append(time.perf_counter() - t0)
+            mr = res * res / min(ts) / 1e6
+            emit(f"coherent_primary_mrays_per_s_1mtri_{engine}", mr,
+                 "Mrays/s", vs_north_star=round(mr / 200, 3))
         del s8, bvh, mesh
 
     # ---- config A: objrender 512^2 AOVs + AO ----
@@ -109,9 +119,9 @@ def main():
         n_samples = 8
 
         def run_a():
-            ao, hits = render_ao(bvh, mesh, rays, key,
-                                 n_samples=n_samples, scene8=s8)
-            return readback(ao.min()), hits
+            aovs, hits = render_ao(bvh, mesh, rays, key,
+                                   n_samples=n_samples, scene8=s8)
+            return readback(aovs["ao"].min()), hits
 
         t0 = time.perf_counter()
         run_a()
@@ -157,20 +167,21 @@ def main():
         emit("path_tracer_512_spp", dur, "s", spp=spp,
              samples_per_s=round(512 * 512 * spp / dur / 1e6, 2))
 
-    # ---- incoherent: fully-random rays, wavefront engine ----
+    # ---- incoherent: fully-random rays, treelet-binned engine ----
     if "incoherent" not in SKIP:
-        from nanort_tpu.traverse.packed import pack_scene
-        from nanort_tpu.traverse.ray_sort import sort_rays
-        from nanort_tpu.traverse.wavefront import traverse_wavefront
+        from nanort_tpu.traverse.treelet import (
+            make_treelets,
+            traverse_bvh8_binned,
+        )
 
         v, f = make_subdivided_sphere_scene(1_000_000)
         mesh = TriangleMesh(vertices=v, faces=f)
         bvh, _ = build_triangle_bvh(mesh, opt8)
-        scene = pack_scene(bvh, v, f)
-        scene = scene.__class__(
-            jax.device_put(jnp.asarray(scene.nodes)),
-            jax.device_put(jnp.asarray(scene.soup)),
-            scene.num_nodes, scene.num_prims,
+        s8i = collapse_bvh8(bvh, v, f)
+        tl, s8i = make_treelets(s8i, 512)
+        s8i = s8i._replace(
+            nodes=jax.device_put(jnp.asarray(s8i.nodes)),
+            leafs=jax.device_put(jnp.asarray(s8i.leafs)),
         )
         R = 4_194_304
         rng = np.random.default_rng(11)
@@ -179,12 +190,9 @@ def main():
         d = rng.normal(size=(R, 3))
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
         rays = make_rays(org, d.astype(np.float32))
-        srt, _, unsort = sort_rays(rays, lo, hi)
-        jax.block_until_ready(srt)
-        tile = int(os.environ.get("NANORT_MATRIX_INC_TILE", 16384))
 
         def run_i():
-            h = unsort(traverse_wavefront(scene, srt, max_leaf=8, tile=tile))
+            h = traverse_bvh8_binned(s8i, rays, treelets=tl, K=8)
             return float(h.t.min())
 
         run_i()
@@ -194,7 +202,7 @@ def main():
             run_i()
             ts.append(time.perf_counter() - t0)
         emit("incoherent_random_mrays_per_s_1mtri", R / min(ts) / 1e6,
-             "Mrays/s", engine="wavefront_sorted", tile=tile)
+             "Mrays/s", engine="treelet_binned", n_treelets=512, K=8)
 
     # ---- 10M tris via HBM scene space ----
     if "tenm" not in SKIP:

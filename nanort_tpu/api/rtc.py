@@ -124,21 +124,24 @@ class RTCScene:
             import jax
 
             fast = jax.default_backend() != "cpu"
-        all_identity = all(
-            np.allclose(g.xform, mat.identity()) for g in self._geoms.values()
-        )
         total_tris = sum(len(g.indices) for g in self._geoms.values())
-        if fast and all_identity and 0 < total_tris <= (1 << 24):
+        if fast and 0 < total_tris <= (1 << 24):
             from .. import build_triangle_bvh
             from ..build.bvh8 import collapse_bvh8
 
-            # flatten all geometries into one world-space mesh: identity
-            # transforms make world == local, so one BVH over the
-            # concatenation is exactly the committed scene
+            # flatten all geometries into one world-space mesh, baking
+            # each geometry's transform into its vertices — occluded()
+            # is a per-ray boolean, so a single world-space BVH over the
+            # transformed union is exactly the committed scene (no
+            # instance-id bookkeeping needed on this path)
             v_parts, f_parts, v_off = [], [], 0
             for gid in sorted(self._geoms):
                 g = self._geoms[gid]
-                v_parts.append(np.asarray(g.vertices, np.float32))
+                vg = np.asarray(g.vertices, np.float32)
+                x = np.asarray(g.xform, np.float32)
+                if not np.allclose(x, mat.identity()):
+                    vg = vg @ x[:3, :3].T + x[:3, 3]
+                v_parts.append(vg)
                 f_parts.append(np.asarray(g.indices, np.int64) + v_off)
                 v_off += len(g.vertices)
             flat_v = np.concatenate(v_parts)

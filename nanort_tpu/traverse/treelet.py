@@ -21,10 +21,16 @@ Pipeline (``traverse_bvh8_binned``):
      aligned slots (each packet holds rays of ONE treelet; per-packet
      root rides a kernel input), traversed, and min-merged.
 
-Hit records match the global traversal exactly: every treelet whose
-entry distance can beat the ray's current best is visited, so the
+Hit records match the global traversal exactly when ``K`` covers every
+treelet a ray can enter: passes visit entries nearest-first and a pass
+is skipped once the ray's best hit precedes its entry distance, so the
 nearest hit is never missed (same argument as the reference's two-level
-NanoSG traversal, nanosg.h:779-874).
+NanoSG traversal, nanosg.h:779-874). A ray that *enters* more than ``K``
+treelet AABBs only keeps its K nearest entries — a hit lying beyond the
+K-th entered box with nothing closer would be missed, so raise ``K``
+with ``n_treelets`` (rule of thumb: a line crosses O(T^(1/3)) boxes of a
+surface-hugging frontier; K=8 covered T<=128 exactly on the parity
+suite).
 """
 
 from __future__ import annotations
@@ -166,10 +172,12 @@ def make_treelets(scene: BVH8Scene, target: int = 64):
 
 
 @functools.partial(jax.jit, static_argnames=("K", "chunk"))
-def _treelet_klists(org, dirs, min_t, max_t, bmin, bmax, K, chunk=65536):
+def _treelet_klists(org, dirs, min_t, max_t, bmin, bmax, K, chunk=None):
     """Dense ray x treelet AABB test -> K nearest (t_entry, tid) slots.
     tid == T marks an empty slot. Chunked over rays so the (chunk, T)
-    intermediates stay small."""
+    intermediates stay small (default: chunk * T ~ 2^24)."""
+    if chunk is None:
+        chunk = max(2048, (1 << 24) // max(int(bmin.shape[0]), 1))
     R = org.shape[0]
     n_chunks = -(-R // chunk)
     pad = n_chunks * chunk - R
@@ -187,37 +195,37 @@ def _treelet_klists(org, dirs, min_t, max_t, bmin, bmax, K, chunk=65536):
 
 
 def _treelet_klists_chunk(org, dirs, min_t, max_t, bmin, bmax, K):
-    inv = jnp.where(
-        jnp.abs(dirs) < jnp.finfo(jnp.float32).eps,
-        jnp.copysign(jnp.float32(jnp.inf), dirs),
-        1.0 / jnp.where(jnp.abs(dirs) < jnp.finfo(jnp.float32).eps, 1.0, dirs),
-    )
-    neg = dirs < 0
-    lo = jnp.where(neg[:, None, :], bmax[None], bmin[None])  # (R, T, 3)
-    hi = jnp.where(neg[:, None, :], bmin[None], bmax[None])
+    # componentwise (chunk, T) slab tests: the earlier (chunk, T, 3)
+    # broadcast form left XLA with a padded minor-3 layout and ran ~5x
+    # below VPU rate. Sign-free form: per axis, near = min of the two
+    # plane products (NaN folds to -inf: 0 * inf on a degenerate axis
+    # means unconstrained), far = max (NaN folds to +inf), matching the
+    # reference's per-axis fold order (nanort.h:2303-2348) and its
+    # conservative *1.00000024 on the far product.
     mm = jnp.float32(1.00000024)
-    t0 = (lo - org[:, None, :]) * inv[:, None, :]
-    t1 = (hi - org[:, None, :]) * inv[:, None, :] * mm
-    tmin = jnp.maximum(
-        jnp.maximum(
-            jnp.where(jnp.isnan(t0[..., 0]), -jnp.inf, t0[..., 0]),
-            jnp.where(jnp.isnan(t0[..., 1]), -jnp.inf, t0[..., 1]),
-        ),
-        jnp.maximum(
-            jnp.where(jnp.isnan(t0[..., 2]), -jnp.inf, t0[..., 2]),
-            min_t[:, None],
-        ),
-    )
-    tmax = jnp.minimum(
-        jnp.minimum(
-            jnp.where(jnp.isnan(t1[..., 0]), jnp.inf, t1[..., 0]),
-            jnp.where(jnp.isnan(t1[..., 1]), jnp.inf, t1[..., 1]),
-        ),
-        jnp.minimum(
-            jnp.where(jnp.isnan(t1[..., 2]), jnp.inf, t1[..., 2]),
-            max_t[:, None],
-        ),
-    )
+    inf = jnp.float32(jnp.inf)
+    tmin = jnp.broadcast_to(min_t[:, None], (org.shape[0], bmin.shape[0]))
+    tmax = jnp.broadcast_to(max_t[:, None], (org.shape[0], bmin.shape[0]))
+    for a in range(3):
+        d = dirs[:, a]
+        tiny = jnp.abs(d) < jnp.finfo(jnp.float32).eps
+        inv = jnp.where(
+            tiny, jnp.copysign(inf, d),
+            1.0 / jnp.where(tiny, 1.0, d),
+        )[:, None]
+        o = org[:, a][:, None]
+        pa = (bmin[None, :, a] - o) * inv
+        pb = (bmax[None, :, a] - o) * inv
+        near = jnp.minimum(
+            jnp.where(jnp.isnan(pa), -inf, pa),
+            jnp.where(jnp.isnan(pb), -inf, pb),
+        )
+        far = jnp.maximum(
+            jnp.where(jnp.isnan(pa), inf, pa),
+            jnp.where(jnp.isnan(pb), inf, pb),
+        ) * mm
+        tmin = jnp.maximum(tmin, near)
+        tmax = jnp.minimum(tmax, far)
     hit = tmin <= tmax  # (R, T)
     big = jnp.float32(3.0e38)
     key = jnp.where(hit, tmin, big)
@@ -290,20 +298,123 @@ def _bin_pass(org, dirs, min_t, cur_best_t, tid_k, t_entry_k, tl_roots,
     return (b_org, b_dir, b_min, b_max), pkt_root, inv_dest, active
 
 
+@functools.partial(jax.jit, static_argnames=("T", "C", "packet"))
+def _pair_order(td, te, best_t, T, C, packet):
+    """Group the (R, C) candidate pair grid by treelet id.
+
+    Returns (order over the flattened grid with active pairs first
+    grouped by tid, grouped keys, per-treelet active counts, total
+    active count)."""
+    act = (td < T) & (te <= best_t[:, None])
+    key = jnp.where(act, td, T).astype(jnp.int32).reshape(-1)
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    key_s = jnp.take(key, order)
+    counts = jnp.bincount(key_s, length=T + 1)[:T].astype(jnp.int32)
+    n_padded = jnp.sum(-(-counts // packet) * packet)  # exact slot need
+    return order, key_s, counts, jnp.sum(counts), n_padded
+
+
+@functools.partial(
+    jax.jit, static_argnames=("T", "C", "packet", "n_slots")
+)
+def _pair_fill(order_j, key_j, counts, comps, best_t, T, C, packet, n_slots):
+    """Assemble packet-aligned ray slots for the first len(order_j)
+    grouped pairs via ONE index scatter + per-component gathers (TPU
+    scatters cost what gathers do, so the SoA is moved with gathers from
+    per-component (R+1,) arrays whose last row is an inert pad ray).
+
+    Returns (slot ray SoA components, per-packet roots as treelet ids,
+    per-slot source ray index [R = pad])."""
+    R = comps[0].shape[0] - 1
+    j = jnp.arange(order_j.shape[0], dtype=jnp.int32)
+    g = jnp.minimum(key_j, T - 1)
+    live = key_j < T
+    padded = (-(-counts // packet) * packet).astype(jnp.int32)
+    pad_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
+    )
+    start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    rank = j - jnp.take(start, g)
+    dest = jnp.where(live, jnp.take(pad_off, g) + rank, n_slots - 1)
+    ray_idx = (order_j // C).astype(jnp.int32)  # pair grid is (R, C)
+
+    slot_src = jnp.full((n_slots,), R, jnp.int32)
+    slot_src = slot_src.at[dest].set(jnp.where(live, ray_idx, R))
+    ox, oy, oz, dx, dy, dz, mint = [
+        jnp.take(c, slot_src) for c in comps[:7]
+    ]
+    # per-slot far bound = the ray's current best (in-kernel pruning);
+    # pad row maps to max_t = -1 < min_t = 1, an inert slot
+    maxt = jnp.take(
+        jnp.concatenate([best_t, jnp.full((1,), -1.0, best_t.dtype)]),
+        slot_src,
+    )
+    slot_tid = jnp.full((n_slots,), -1, jnp.int32)
+    slot_tid = slot_tid.at[dest].max(jnp.where(live, g, -1))
+    pkt_tid = jnp.max(slot_tid.reshape(-1, packet), axis=1)
+    return (ox, oy, oz, dx, dy, dz, mint, maxt), pkt_tid, slot_src
+
+
+@jax.jit
+def _pair_merge(best, slot_t, slot_u, slot_v, slot_pid, slot_src):
+    """Fold slot hit records back per ray: scatter-min t, then pick one
+    winning slot per ray (max slot index among equal-t winners — equal-t
+    ties are traversal-order-defined everywhere in this package) and
+    gather its full record so (t, u, v, prim_id) stay consistent."""
+    R = best.t.shape[0]
+    inf = jnp.float32(jnp.inf)
+    valid = (slot_pid != jnp.uint32(INVALID_PRIM_ID)) & (slot_src < R)
+    tval = jnp.where(valid, slot_t, inf)
+    src = jnp.where(valid, slot_src, R)
+    cand = jnp.full((R + 1,), inf, slot_t.dtype).at[src].min(tval)
+    win = valid & (tval <= jnp.take(cand, src))
+    wslot = (
+        jnp.full((R + 1,), -1, jnp.int32)
+        .at[src]
+        .max(jnp.where(win, jnp.arange(slot_t.shape[0], dtype=jnp.int32), -1))
+    )[:R]
+    got = (wslot >= 0) & (cand[:R] <= best.t)
+    ws = jnp.maximum(wslot, 0)
+    return Hits(
+        t=jnp.where(got, jnp.take(slot_t, ws), best.t),
+        u=jnp.where(got, jnp.take(slot_u, ws), best.u),
+        v=jnp.where(got, jnp.take(slot_v, ws), best.v),
+        prim_id=jnp.where(got, jnp.take(slot_pid, ws), best.prim_id),
+    )
+
+
+def _next_bucket(n, packet):
+    """Smallest power-of-two >= n, packet-aligned (bounds the number of
+    distinct compiled shapes per (scene, config) to ~log2 buckets)."""
+    b = packet
+    while b < n:
+        b *= 2
+    return -(-b // packet) * packet
+
+
 def traverse_bvh8_binned(
     scene: BVH8Scene,
     rays: Rays,
     options: BVHTraceOptions = BVHTraceOptions(),
     treelets: Treelets | None = None,
-    n_treelets: int = 64,
-    K: int = 4,
+    n_treelets: int = 1024,
+    K: int = 8,
     sub: int = 8,
     **kw,
 ) -> Hits:
     """Incoherent-ray entry point: treelet-binned packet traversal.
 
-    ``K`` is the max treelets visited per ray (pass count); rays whose
-    current best hit precedes a pass's treelet entry skip that pass.
+    Two pair-sweep rounds instead of K sequential passes (profiled: the
+    per-pass scatter assembly + kernel launch overhead at ~1.5 s/pass
+    dwarfed the actual traversal): round 1 bins every ray to its single
+    nearest entered treelet and traverses; round 2 expands the remaining
+    (ray, treelet) candidate pairs — pruned by round 1's best hit, which
+    deactivates most of them — into one flat packet-aligned sweep. ``K``
+    caps treelets *entered* per ray (see module docstring for the
+    coverage rule), no longer the number of kernel launches.
+
     ``sub`` defaults lower than the coherent path (1024-ray packets):
     bins are coherent but small."""
     from .pallas_packet import traverse_bvh8
@@ -332,36 +443,60 @@ def traverse_bvh8_binned(
         K,
     )
 
-    # worst-case bin padding R + T*(packet-1), plus one dead packet
-    total = (-(-R // packet) + T + 1) * packet
+    pad1 = lambda x, f: jnp.concatenate(
+        [x, jnp.full((1,), f, x.dtype)]
+    )
+    comps = (
+        pad1(flat.org[:, 0], 0.0), pad1(flat.org[:, 1], 0.0),
+        pad1(flat.org[:, 2], 0.0), pad1(flat.dir[:, 0], 1.0),
+        pad1(flat.dir[:, 1], 0.0), pad1(flat.dir[:, 2], 0.0),
+        pad1(flat.min_t, 1.0),
+    )
     best = Hits(
         t=flat.max_t,
         u=jnp.zeros_like(flat.max_t),
         v=jnp.zeros_like(flat.max_t),
         prim_id=jnp.full(flat.max_t.shape, INVALID_PRIM_ID, jnp.uint32),
     )
-    roots_np = jnp.asarray(treelets.roots)
-    for k in range(K):
-        (b_org, b_dir, b_min, b_max), pkt_root, inv_dest, active = _bin_pass(
-            flat.org, flat.dir, flat.min_t, best.t,
-            tid[:, k], t_entry[:, k], roots_np,
-            T, packet, total,
+    roots_dev = jnp.asarray(treelets.roots)
+
+    for cols in (slice(0, 1), slice(1, K)):
+        td = tid[:, cols]
+        C = td.shape[1]
+        if C == 0:
+            continue
+        order, key_s, counts, n_act, n_padded = _pair_order(
+            td, t_entry[:, cols], best.t, T, C, packet
         )
-        if not bool(jnp.any(active)):
-            break
-        brays = Rays(org=b_org, dir=b_dir, min_t=b_min, max_t=b_max)
+        n_act = int(n_act)  # one host sync per round
+        if n_act == 0:
+            continue
+        # static-shape bucket over the EXACT packet-aligned slot need
+        # (a worst-case T*(packet-1) pad estimate doubled the gather
+        # traffic at large T)
+        n_slots = _next_bucket(int(n_padded) + packet, packet)
+        j_cap = min(int(td.shape[0]) * C, n_slots)
+        order_j = jax.lax.slice(order, (0,), (j_cap,))
+        key_j = jax.lax.slice(key_s, (0,), (j_cap,))
+        slot_comps, pkt_tid, slot_src = _pair_fill(
+            order_j, key_j, counts, comps, best.t, T, C, packet, n_slots
+        )
+        pkt_root = jnp.where(
+            pkt_tid >= 0,
+            jnp.take(roots_dev, jnp.maximum(pkt_tid, 0)),
+            0,
+        )
+        ox, oy, oz, dx, dy, dz, mint, maxt = slot_comps
+        brays = Rays(
+            org=jnp.stack([ox, oy, oz], axis=-1),
+            dir=jnp.stack([dx, dy, dz], axis=-1),
+            min_t=mint,
+            max_t=maxt,
+        )
         h = traverse_bvh8(
             scene, brays, options, sub=sub, packet_roots=pkt_root, **kw
         )
-        take = lambda x: jnp.take(x, inv_dest, axis=0)
-        ht, hu, hv, hp = take(h.t), take(h.u), take(h.v), take(h.prim_id)
-        got = active & (hp != jnp.uint32(INVALID_PRIM_ID)) & (ht <= best.t)
-        best = Hits(
-            t=jnp.where(got, ht, best.t),
-            u=jnp.where(got, hu, best.u),
-            v=jnp.where(got, hv, best.v),
-            prim_id=jnp.where(got, hp, best.prim_id),
-        )
+        best = _pair_merge(best, h.t, h.u, h.v, h.prim_id, slot_src)
 
     # unsort back to caller order
     inv = jnp.argsort(sorder)

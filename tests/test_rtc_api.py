@@ -123,3 +123,29 @@ def test_two_geometries_overlapping_footprint():
     assert bool(hits.hit[0])
     assert float(hits.t[0]) == pytest.approx(2.0, rel=1e-6)
     assert int(hits.node_id[0]) == 1
+
+
+def test_fast_tables_bake_transforms():
+    # fast commit must build the occlusion BVH over WORLD-space
+    # geometry: a transformed instance's triangles appear transformed
+    # in the flattened packet-kernel tables
+    from nanort_tpu.io.procedural import make_uv_sphere
+    from nanort_tpu.scene import matrix as mat
+
+    v, f = make_uv_sphere(4, 8)
+    dev = new_device()
+    sc = dev.new_scene()
+    gid = sc.new_triangle_mesh(len(f), len(v))
+    sc.map_buffer(gid, BufferType.VERTEX)[:] = v
+    sc.map_buffer(gid, BufferType.INDEX)[:] = f
+    off = np.array([10.0, -2.0, 3.0], np.float32)
+    sc.set_transform(gid, mat.translate(off))
+    sc.commit(fast=True)
+    assert sc._scene8 is not None
+    leafs = np.asarray(sc._scene8.leafs)
+    # every stored leaf triangle vertex lies inside the translated bbox
+    tri = leafs[:, :90].reshape(-1, 10, 9)[..., :9].reshape(-1, 3)
+    live = np.abs(tri).sum(axis=1) > 0
+    lo = v.min(axis=0) + off - 1e-4
+    hi = v.max(axis=0) + off + 1e-4
+    assert np.all((tri[live] >= lo) & (tri[live] <= hi))

@@ -78,7 +78,7 @@ d = rng.normal(size=(R, 3))
 d /= np.linalg.norm(d, axis=-1, keepdims=True)
 rays = make_rays(org, d.astype(np.float32))
 
-for T, K, sub in ((64, 6, 8), (128, 6, 8), (64, 6, 16)):
+for T, K, sub in ((512, 8, 8), (1024, 8, 8), (2048, 12, 8)):
     tl, s8a = make_treelets(s8, T)
     s8a = s8a._replace(nodes=jax.device_put(jnp.asarray(s8a.nodes)))
     t0 = time.perf_counter()
