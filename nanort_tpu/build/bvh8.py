@@ -84,14 +84,28 @@ def _surface_area(bmin, bmax):
 
 def _leaf_scatter_index(offsets, counts):
     """Vectorized (row, slot, tri) index triplets for packing leaf rows
-    (a Python loop over ~1M-triangle tables costs tens of seconds)."""
-    counts = counts.astype(np.int64)
+    (a Python loop over ~1M-triangle tables costs tens of seconds).
+
+    ``l_idx`` is None when the leaf [offset, offset+count) ranges tile
+    the index array contiguously in order (the preorder invariant every
+    builder here maintains) — then tri ``k`` of the packed stream IS
+    leaf-stream element ``k`` and callers skip a 9-wide gather that
+    costs seconds on this host. int32 throughout: the int64 broadcast
+    forms measured ~10 s at 1M tris on the throttled vCPU."""
+    counts = counts.astype(np.int32)
+    offsets = offsets.astype(np.int32)
     total = int(counts.sum())
-    row_idx = np.repeat(np.arange(counts.shape[0], dtype=np.int64), counts)
-    starts = np.zeros(counts.shape[0], np.int64)
+    row_idx = np.repeat(
+        np.arange(counts.shape[0], dtype=np.int32), counts
+    )
+    starts = np.zeros(counts.shape[0], np.int32)
     np.cumsum(counts[:-1], out=starts[1:])
-    within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
-    l_idx = np.repeat(offsets.astype(np.int64), counts) + within
+    within = np.arange(total, dtype=np.int32) - np.repeat(starts, counts)
+    if offsets.shape[0] == 0 or (
+        offsets[0] == 0 and np.array_equal(offsets, starts)
+    ):
+        return row_idx, within, None
+    l_idx = np.repeat(offsets, counts) + within
     return row_idx, within, l_idx
 
 
@@ -124,76 +138,140 @@ def collapse_bvh8(bvh: BVH, vertices, faces) -> BVH8Scene:
     row_idx, within, l_idx = _leaf_scatter_index(
         data[leaf_ids, 1], counts
     )
-    leafs[row_idx[:, None], 9 * within[:, None] + np.arange(9)] = (
-        tri_all[l_idx]
+    # 1-D flat-index scatter: the 2-D broadcasted fancy-index form costs
+    # ~14 s at 1M tris (numpy walks the index product elementwise)
+    base9 = row_idx * np.int32(128) + np.int32(9) * within
+    flat9 = (base9[:, None] + np.arange(9, dtype=np.int32)).reshape(-1)
+    tvals = tri_all if l_idx is None else tri_all[l_idx]
+    pvals = pid_all if l_idx is None else pid_all[l_idx]
+    leafs.reshape(-1)[flat9] = tvals.reshape(-1)
+    leafs.reshape(-1)[row_idx * np.int32(128) + np.int32(90) + within] = (
+        pvals.astype(np.float32)
     )
-    leafs[row_idx, 90 + within] = pid_all[l_idx].astype(np.float32)
 
-    # ---- node collapse ----
-    def cut8(root: int):
-        """Greedy cut of up to 8 binary descendants under `root`."""
-        if flag[root] == 1:
-            return [root]
-        cut = [int(data[root, 0]), int(data[root, 1])]
-        while len(cut) < 8:
-            best, best_sa = -1, -1.0
-            for j, c in enumerate(cut):
-                if flag[c] == 0:
-                    sa = _surface_area(bmin[c], bmax[c])
-                    if sa > best_sa:
-                        best, best_sa = j, sa
-            if best < 0:
-                break
-            c = cut.pop(best)
-            cut.extend((int(data[c, 0]), int(data[c, 1])))
-        return cut
+    # ---- node collapse (vectorized, level-synchronous BFS) ----
+    # The serial preorder emitter cost ~300 s of host Python at 10M tris;
+    # this version expands the greedy 8-wide cuts of a whole BFS level at
+    # once with (N, 8) numpy ops. Row order is BFS (root stays row 0);
+    # nothing downstream relies on preorder — children are addressed by
+    # explicit meta lanes.
+    def cut8_batch(roots):
+        """Greedy cuts of up to 8 binary descendants for every root at
+        once: repeatedly split the largest-surface-area internal cut
+        member (same pick order as the reference-style serial cut; ties
+        resolve to the lowest slot, matching first-strict-max)."""
+        n = roots.shape[0]
+        ids = np.full((n, 8), 0, np.int64)
+        ids[:, 0] = data[roots, 0]
+        ids[:, 1] = data[roots, 1]
+        cnt = np.full(n, 2, np.int64)
+        rng_n = np.arange(n)
+        slot = np.arange(8)[None, :]
+        for _ in range(6):  # 2 -> 8 members, +1 per expansion
+            valid = slot < cnt[:, None]
+            isint = valid & (flag[ids] == 0)
+            d = np.maximum(bmax[ids] - bmin[ids], 0.0)
+            sa = 2.0 * (
+                d[..., 0] * d[..., 1]
+                + d[..., 1] * d[..., 2]
+                + d[..., 2] * d[..., 0]
+            )
+            sa = np.where(isint, sa, -1.0)
+            j = np.argmax(sa, axis=1)
+            can = (sa[rng_n, j] >= 0.0) & (cnt < 8)
+            c = ids[rng_n, j]
+            ids[can, j[can]] = data[c[can], 0]
+            ids[can, cnt[can]] = data[c[can], 1]
+            cnt[can] += 1
+        return ids, cnt
 
-    rows: list[np.ndarray] = []
-    max_depth = 0
-    # preorder emission with parent patch: (binary root, parent row, slot, depth)
-    stack = [(0, -1, 0, 0)]
-    while stack:
-        broot, parent, slot, depth = stack.pop()
-        max_depth = max(max_depth, depth)
-        my = len(rows)
-        row = np.zeros(128, np.float32)
-        row[0:64:8] = EMPTY_BIG  # empty-slot bmin.x
-        row[1:64:8] = EMPTY_BIG
-        row[2:64:8] = EMPTY_BIG
-        row[3:64:8] = -EMPTY_BIG
-        row[4:64:8] = -EMPTY_BIG
-        row[5:64:8] = -EMPTY_BIG
-        rows.append(row)
-        if parent >= 0:
-            rows[parent][64 + slot] = np.float32(my)
-        children = cut8(broot)
-        if len(children) > 1:
-            cent = 0.5 * (bmin[children] + bmax[children])
-            axis = int(np.argmax(cent.max(0) - cent.min(0)))
-            children = [children[i] for i in
-                        np.argsort(cent[:, axis], kind="stable")]
-            row[80] = np.float32(axis)
-        for c, b in enumerate(children):
-            row[8 * c : 8 * c + 3] = bmin[b]
-            row[8 * c + 3 : 8 * c + 6] = bmax[b]
-            if flag[b] == 1:
-                lr = leaf_row_of[b]
-                row[64 + c] = np.float32(-(lr + 1))
-                row[72 + c] = np.float32(data[b, 0])
-            else:
-                # placeholder patched when the child row is emitted
-                stack.append((b, my, c, depth + 1))
+    if flag[0] == 1:
+        # degenerate single-leaf tree: one node with one leaf child
+        nodes = np.zeros((2, 128), np.float32)
+        for r in range(2):
+            nodes[r, 0:64:8] = EMPTY_BIG
+            nodes[r, 1:64:8] = EMPTY_BIG
+            nodes[r, 2:64:8] = EMPTY_BIG
+            nodes[r, 3:64:8] = -EMPTY_BIG
+            nodes[r, 4:64:8] = -EMPTY_BIG
+            nodes[r, 5:64:8] = -EMPTY_BIG
+        nodes[0, 0:3] = bmin[0]
+        nodes[0, 3:6] = bmax[0]
+        nodes[0, 64] = np.float32(-(leaf_row_of[0] + 1))
+        nodes[0, 72] = np.float32(data[0, 0])
+        max_depth = 0
+    else:
+        level_rows: list[np.ndarray] = []
+        frontier = np.zeros(1, np.int64)  # binary roots of this level
+        row_base = 0
+        max_depth = 0
+        while frontier.size:
+            n = frontier.shape[0]
+            ids, cnt = cut8_batch(frontier)
+            valid = np.arange(8)[None, :] < cnt[:, None]
+            child_leaf = valid & (flag[ids] == 1)
+            child_int = valid & ~child_leaf
 
-    rows.append(rows[0] * 0.0)  # dummy row at index num_nodes: the packet
-    # kernel's software-pipelined loop parks on it (empty boxes never hit)
-    dummy = rows[-1]
-    dummy[0:64:8] = EMPTY_BIG
-    dummy[1:64:8] = EMPTY_BIG
-    dummy[2:64:8] = EMPTY_BIG
-    dummy[3:64:8] = -EMPTY_BIG
-    dummy[4:64:8] = -EMPTY_BIG
-    dummy[5:64:8] = -EMPTY_BIG
-    nodes = np.stack(rows)
+            # near-first child order along the widest-centroid axis
+            cent = 0.5 * (bmin[ids] + bmax[ids])  # (n, 8, 3)
+            c_lo = np.where(valid[..., None], cent, np.inf).min(axis=1)
+            c_hi = np.where(valid[..., None], cent, -np.inf).max(axis=1)
+            axis = np.argmax(c_hi - c_lo, axis=1)  # (n,)
+            key = np.where(
+                valid, cent[np.arange(n)[:, None], np.arange(8)[None, :],
+                            axis[:, None]], np.inf
+            )
+            order = np.argsort(key, axis=1, kind="stable")
+            take = np.arange(n)[:, None]
+            ids = ids[take, order]
+            valid = valid[take, order]
+            child_leaf = child_leaf[take, order]
+            child_int = child_int[take, order]
+
+            rows = np.zeros((n, 128), np.float32)
+            rows[:, 0:64:8] = EMPTY_BIG
+            rows[:, 1:64:8] = EMPTY_BIG
+            rows[:, 2:64:8] = EMPTY_BIG
+            rows[:, 3:64:8] = -EMPTY_BIG
+            rows[:, 4:64:8] = -EMPTY_BIG
+            rows[:, 5:64:8] = -EMPTY_BIG
+            for c in range(8):
+                v = valid[:, c]
+                rows[v, 8 * c : 8 * c + 3] = bmin[ids[v, c]]
+                rows[v, 8 * c + 3 : 8 * c + 6] = bmax[ids[v, c]]
+            rows[:, 80] = axis.astype(np.float32)
+            # leaf children: -(leaf_row+1) meta + tri count
+            lr = np.where(child_leaf, leaf_row_of[ids], 0)
+            lc = np.where(child_leaf, data[ids.clip(0), 0], 0)
+            meta = np.where(child_leaf, -(lr + 1).astype(np.float64), 0.0)
+            # internal children: next level's BFS row ids in row-major
+            # order over this level's (node, slot) grid
+            next_base = row_base + n
+            int_rank = (np.cumsum(child_int.reshape(-1)) - 1).reshape(n, 8)
+            meta = np.where(child_int, next_base + int_rank, meta)
+            for c in range(8):
+                rows[:, 64 + c] = np.where(
+                    valid[:, c], meta[:, c], 0.0
+                ).astype(np.float32)
+                rows[:, 72 + c] = np.where(
+                    child_leaf[:, c], lc[:, c], 0.0
+                ).astype(np.float32)
+            level_rows.append(rows)
+            frontier = ids[child_int]
+            row_base = next_base
+            if frontier.size:
+                max_depth += 1
+        nodes = np.concatenate(
+            level_rows + [np.zeros((1, 128), np.float32)]
+        )
+        # dummy park row at index num_nodes: the packet kernel's
+        # software-pipelined loop parks on it (empty boxes never hit)
+        nodes[-1, 0:64:8] = EMPTY_BIG
+        nodes[-1, 1:64:8] = EMPTY_BIG
+        nodes[-1, 2:64:8] = EMPTY_BIG
+        nodes[-1, 3:64:8] = -EMPTY_BIG
+        nodes[-1, 4:64:8] = -EMPTY_BIG
+        nodes[-1, 5:64:8] = -EMPTY_BIG
     return BVH8Scene(
         nodes=nodes,
         leafs=leafs,
@@ -258,11 +336,22 @@ def build_woop_leafs(bvh: BVH, vertices, faces) -> np.ndarray:
     e1 = tri[:, 1] - p0
     e2 = tri[:, 2] - p0
     n = np.cross(e1, e2)
-    E = np.stack([e1, e2, n], axis=-1)  # columns
-    det = np.linalg.det(E)
-    ok = np.abs(det) > 0.0
-    Esafe = np.where(ok[:, None, None], E, np.eye(3)[None])
-    M = np.linalg.inv(Esafe)
+    # closed-form inverse of E = [e1 e2 n] (columns) via the adjugate:
+    # np.linalg.inv on (L, 3, 3) runs a per-matrix LAPACK solve (~45 s
+    # at 1M tris on this host); the vectorized cofactor form is ~30
+    # flops/tri. Rows of E^-1 are the cross products of the other two
+    # columns over det, det = e1 . (e2 x n) = n . n.
+    det = np.einsum("ij,ij->i", n, n)
+    ok = det > 0.0
+    safe = np.where(ok, det, 1.0)[:, None]
+    M = np.stack(
+        [
+            np.cross(e2, n) / safe,
+            np.cross(n, e1) / safe,
+            n / safe,
+        ],
+        axis=1,
+    )  # (L, 3, 3): row i = i-th row of E^-1
     M = np.where(ok[:, None, None], M, 0.0)
     pid_all = indices.astype(np.int32)
 
@@ -274,8 +363,12 @@ def build_woop_leafs(bvh: BVH, vertices, faces) -> np.ndarray:
     row_idx, within, l_idx = _leaf_scatter_index(
         data[leaf_ids, 1], counts
     )
-    rows[row_idx[:, None], 12 * within[:, None] + np.arange(12)] = (
-        flat[l_idx]
+    base12 = row_idx * np.int32(128) + np.int32(12) * within
+    flat12 = (base12[:, None] + np.arange(12, dtype=np.int32)).reshape(-1)
+    fvals = flat if l_idx is None else flat[l_idx]
+    pvals = pid_all if l_idx is None else pid_all[l_idx]
+    rows.reshape(-1)[flat12] = fvals.reshape(-1)
+    rows.reshape(-1)[row_idx * np.int32(128) + np.int32(96) + within] = (
+        pvals.astype(np.float32)
     )
-    rows[row_idx, 96 + within] = pid_all[l_idx].astype(np.float32)
     return rows

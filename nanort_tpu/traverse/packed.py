@@ -44,12 +44,15 @@ class PackedScene:
     soup: np.ndarray  # (M, 12) f32, prim_id lane bitcast
     num_nodes: int
     num_prims: int
+    # largest leaf primitive count (None when unknown, e.g. hand-built
+    # tables): lets traverse_wavefront validate/derive its leaf unroll
+    max_leaf: int | None = None
 
 
 jax.tree_util.register_pytree_node(
     PackedScene,
-    lambda s: ((s.nodes, s.soup), (s.num_nodes, s.num_prims)),
-    lambda aux, ch: PackedScene(ch[0], ch[1], aux[0], aux[1]),
+    lambda s: ((s.nodes, s.soup), (s.num_nodes, s.num_prims, s.max_leaf)),
+    lambda aux, ch: PackedScene(ch[0], ch[1], *aux),
 )
 
 
@@ -81,7 +84,10 @@ def pack_scene(bvh: BVH, vertices, faces) -> PackedScene:
     soup = np.zeros((m, 12), np.float32)
     soup[:, 0:9] = tri.reshape(m, 9)
     soup[:, 9] = idx.astype(np.int32).view(np.float32)
-    return PackedScene(nodes=nodes, soup=soup, num_nodes=n, num_prims=m)
+    return PackedScene(
+        nodes=nodes, soup=soup, num_nodes=n, num_prims=m,
+        max_leaf=int(count.max(initial=1)),
+    )
 
 
 def pack_scene_multi(items) -> tuple:
@@ -118,5 +124,6 @@ def pack_scene_multi(items) -> tuple:
         soup=np.concatenate(soup_parts),
         num_nodes=n_total,
         num_prims=soup_off,
+        max_leaf=max(p.max_leaf or 1 for p in packs),
     )
     return scene, np.asarray(roots, np.int32)

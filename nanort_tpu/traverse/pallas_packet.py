@@ -34,6 +34,7 @@ with deferred leaf batching.
 from __future__ import annotations
 
 import functools
+import os
 import warnings
 
 import jax
@@ -880,6 +881,7 @@ def traverse_bvh8(
     debug_counts: bool = False,
     interpret: bool = False,
     _flag_zero_edges: bool = False,
+    _stack_slots: int | None = None,
 ) -> Hits:
     """Trace rays against a VMEM-resident BVH8 scene (fp32).
 
@@ -996,14 +998,22 @@ def traverse_bvh8(
 
     if pop_n is None:
         pop_n = 2 if dual_pop else 1
-    if pop_n > 2:
-        # 3/4-way pop kernels currently die in the TPU backend with an
-        # INTERNAL fault (reproduced on v5e, 2026-08); 2 is also the
-        # measured optimum — clamp (pop_n is a pure perf knob, results
-        # are identical at any value)
+    unclamp = bool(os.environ.get("NANORT_EXPERIMENTAL_UNCLAMP"))
+    if pop_n > 2 and not unclamp:
+        # 3/4-way pop kernels die in the TPU backend with an INTERNAL
+        # fault on large scenes (isolated on v5e, 2026-08: 100K-tri
+        # scenes run pop_n=3/4 fine — and correct — at any stack size;
+        # the SAME kernel on a 1M-tri scene faults regardless of SMEM
+        # stack slots 208..1024, watertight or woop, so it is neither a
+        # stack overflow nor allocation size — likely a backend limit
+        # tied to node-table size x in-flight fetches). 2 is also the
+        # measured optimum at benchmark scale — clamp (pop_n is a pure
+        # perf knob, results are identical at any value).
+        # NANORT_EXPERIMENTAL_UNCLAMP=1 bypasses both clamps for
+        # backend debugging.
         warnings.warn("pop_n > 2 faults the v5e backend; clamping to 2")
         pop_n = 2
-    if lq_cap > 2:
+    if lq_cap > 2 and not unclamp:
         # same story: lq_cap >= 4 kernels fault at runtime (fresh-process
         # repro) and lq_cap=2 already measures within noise of 1
         warnings.warn("lq_cap > 2 faults the v5e backend; clamping to 2")
@@ -1054,7 +1064,9 @@ def traverse_bvh8(
         # worst case ~7 live siblings per level per in-flight DFS line;
         # pop_n>1 interleaves up to pop_n lines (quad-pop at the old
         # 16*depth bound overflowed the SMEM stack and faulted the chip)
-        max(64, 8 * scene.depth * max(2, pop_n) + 64),
+        _stack_slots
+        if _stack_slots is not None
+        else max(64, 8 * scene.depth * max(2, pop_n) + 64),
         vmem_mb,
         scene.max_leaf,
         pop_n,

@@ -220,6 +220,30 @@ def _auto_max_stack(bvh) -> int:
     return need
 
 
+_LEAF_COUNT_MEMO: dict = {}
+
+
+def _actual_max_leaf(bvh) -> int | None:
+    """Largest primitive count in any leaf of this tree (None when the
+    arrays are traced and can't be inspected host-side). Memoized with
+    the same object-pinning scheme as the stack-size memo."""
+    key = id(bvh.flag)
+    hit = _LEAF_COUNT_MEMO.get(key)
+    if hit is not None and hit[0] is bvh.flag:
+        return hit[1]
+    try:
+        flag = np.asarray(bvh.flag)
+        data = np.asarray(bvh.data)
+        leaf = flag == 1
+        need = int(data[leaf, 0].max()) if leaf.any() else 0
+    except Exception:  # traced arrays inside jit/shard_map
+        return None
+    if len(_LEAF_COUNT_MEMO) > 16:
+        _LEAF_COUNT_MEMO.clear()
+    _LEAF_COUNT_MEMO[key] = (bvh.flag, need)
+    return need
+
+
 def traverse(
     bvh,
     prims,
@@ -235,9 +259,28 @@ def traverse(
     """Generic BVH traversal for any primitive kind (see ops.protocol).
 
     ``max_stack=None`` (default) sizes the per-ray stack from the built
-    tree's depth so overflow cannot silently corrupt results (ADVICE r1)."""
+    tree's depth so overflow cannot silently corrupt results (ADVICE r1).
+    ``max_leaf`` may be None to size the leaf unroll from the tree; an
+    explicit value smaller than the tree's largest leaf raises (the old
+    behavior silently skipped primitives past the unroll bound — wrong
+    hits with no error)."""
     if max_stack is None:
         max_stack = _auto_max_stack(bvh)
+    actual = _actual_max_leaf(bvh)
+    if max_leaf is None:
+        if actual is None:
+            raise ValueError(
+                "max_leaf=None needs a host-inspectable BVH (inside "
+                "jit/shard_map pass the build's max_leaf_primitives "
+                "explicitly)"
+            )
+        max_leaf = max(actual, 1)
+    elif actual is not None and actual > max_leaf:
+        raise ValueError(
+            f"BVH has leaves holding {actual} primitives but max_leaf="
+            f"{max_leaf}; primitives past the unroll bound would be "
+            f"silently skipped — pass max_leaf>={actual} (or None)"
+        )
     skip_is_array = skip_prim_id is not None
     return _traverse_jit(
         bvh,

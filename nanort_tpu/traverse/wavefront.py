@@ -277,12 +277,28 @@ def traverse_wavefront(
     rays: Rays,
     options: BVHTraceOptions = BVHTraceOptions(),
     skip_prim_id=None,
-    max_leaf: int = 4,
+    max_leaf: int | None = 4,
     tile: int = 16384,
     root=None,
 ) -> Hits:
     """Trace a ray batch against a packed scene (fp32). ``root`` optionally
-    gives each ray its start node (multi-mesh tables, pack_scene_multi)."""
+    gives each ray its start node (multi-mesh tables, pack_scene_multi).
+    ``max_leaf`` may be None to use the scene's recorded largest leaf; an
+    explicit value smaller than it raises (primitives past the unroll
+    bound would be silently skipped)."""
+    known = getattr(scene, "max_leaf", None)
+    if max_leaf is None:
+        if known is None:
+            raise ValueError(
+                "max_leaf=None needs a PackedScene built by pack_scene "
+                "(this one carries no leaf-size record)"
+            )
+        max_leaf = max(known, 1)
+    elif known is not None and known > max_leaf:
+        raise ValueError(
+            f"packed scene has leaves holding {known} primitives but "
+            f"max_leaf={max_leaf}; pass max_leaf>={known} (or None)"
+        )
     nodes = jnp.asarray(scene.nodes)
     soup = jnp.asarray(scene.soup)
     skip_is_array = skip_prim_id is not None
