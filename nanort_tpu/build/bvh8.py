@@ -261,9 +261,39 @@ def collapse_bvh8(bvh: BVH, vertices, faces) -> BVH8Scene:
             row_base = next_base
             if frontier.size:
                 max_depth += 1
-        nodes = np.concatenate(
-            level_rows + [np.zeros((1, 128), np.float32)]
-        )
+        bfs = np.concatenate(level_rows)
+        total = bfs.shape[0]
+        # ---- reorder BFS rows into DFS preorder (vectorized) ----
+        # Preorder costs ~5% traversal throughput when skipped
+        # (measured 456 vs 434 ms on the 1M bench): near-first pops
+        # then touch adjacent VMEM rows. Children are always at later
+        # BFS levels, so subtree sizes accumulate bottom-up per level
+        # and preorder offsets distribute top-down per level.
+        starts = np.cumsum([0] + [r.shape[0] for r in level_rows])
+        metas = bfs[:, 64:72].astype(np.int64)
+        valid_l = bfs[:, 0:64:8] < EMPTY_BIG
+        is_int = valid_l & (metas >= 0)
+        child = np.where(is_int, metas, 0)
+        sizes = np.ones(total, np.int64)
+        for li in range(len(level_rows) - 1, -1, -1):
+            a, b = starts[li], starts[li + 1]
+            sizes[a:b] += np.where(
+                is_int[a:b], sizes[child[a:b]], 0
+            ).sum(axis=1)
+        perm = np.zeros(total, np.int64)  # BFS idx -> preorder idx
+        for li in range(len(level_rows) - 1):
+            a, b = starts[li], starts[li + 1]
+            csz = np.where(is_int[a:b], sizes[child[a:b]], 0)
+            prefix = np.cumsum(csz, axis=1) - csz  # exclusive, slot order
+            off = perm[a:b, None] + 1 + prefix
+            perm[child[a:b][is_int[a:b]]] = off[is_int[a:b]]
+        nodes = np.zeros((total + 1, 128), np.float32)
+        nodes[perm] = bfs
+        # remap internal metas through the permutation
+        for c in range(8):
+            lane = nodes[:, 64 + c].astype(np.int64)
+            vi = (nodes[:, 8 * c] < EMPTY_BIG) & (lane >= 0)
+            nodes[vi, 64 + c] = perm[lane[vi]].astype(np.float32)
         # dummy park row at index num_nodes: the packet kernel's
         # software-pipelined loop parks on it (empty boxes never hit)
         nodes[-1, 0:64:8] = EMPTY_BIG
