@@ -20,7 +20,9 @@ Env knobs:
                        8192^2 -> 109 Mrays/s measured on v5e with
                        ordered near-first traversal)
   NANORT_BENCH_REPS   (default 3)
-  NANORT_BENCH_LEAF   (default 8)
+  NANORT_BENCH_LEAF   (default 9: 12-lane woop rows hold 9
+                       tris; ~11% fewer leaf rows than 8,
+                       measured +2.7% same-process)
   NANORT_BENCH_SUB    (default 32 -> 4096-ray packets)
   NANORT_BENCH_PATH   ("pallas" | "wavefront", default pallas)
   NANORT_BENCH_ENGINE ("turbo" | "turbo_refit" | "watertight", default
@@ -53,7 +55,7 @@ def main():
     n_tris = int(os.environ.get("NANORT_BENCH_TRIS", 1_000_000))
     res = int(os.environ.get("NANORT_BENCH_RES", 8192))
     reps = int(os.environ.get("NANORT_BENCH_REPS", 3))
-    leaf = int(os.environ.get("NANORT_BENCH_LEAF", 8))
+    leaf = int(os.environ.get("NANORT_BENCH_LEAF", 9))
     sub = int(os.environ.get("NANORT_BENCH_SUB", 32))
     path = os.environ.get("NANORT_BENCH_PATH", "pallas")
 

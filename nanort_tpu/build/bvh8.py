@@ -334,10 +334,11 @@ def build_woop_leafs(bvh: BVH, vertices, faces) -> np.ndarray:
 
       lanes [12t, 12t+9):      triangle t transform M, row-major
       lanes [12t+9, 12t+12):   triangle t anchor vertex p0
-      lane  96 + t:            triangle t original prim id (exact float)
+      lane  108 + t:           triangle t original prim id (exact float)
 
-    12 lanes/tri caps rows at 8 triangles — build with
-    ``max_leaf_primitives <= 8``. Degenerate (zero-area) triangles get a
+    12 lanes/tri + the pid block at lane 108 cap rows at 9 triangles —
+    build with ``max_leaf_primitives <= 9`` (9-tri leaves trade ~11%
+    fewer drain steps against slightly larger leaf unions). Degenerate (zero-area) triangles get a
     zero matrix: d'z = 0 everywhere, so they never report a hit (the
     watertight path rejects them via det == 0 the same way).
 
@@ -356,10 +357,11 @@ def build_woop_leafs(bvh: BVH, vertices, faces) -> np.ndarray:
 
     leaf_ids = np.nonzero(flag == 1)[0]
     counts = data[leaf_ids, 0]
-    if counts.max(initial=0) > 8:
+    if counts.max(initial=0) > 9:
         raise ValueError(
-            "woop leaf rows hold <= 8 triangles (12 lanes each); build "
-            f"with max_leaf_primitives<=8 (got {counts.max()})"
+            "woop leaf rows hold <= 9 triangles (12 lanes each + pid "
+            f"block at lane 108); build with max_leaf_primitives<=9 "
+            f"(got {counts.max()})"
         )
     tri = vertices[faces[indices]]  # (L, 3, 3) leaf-ordered, f64
     p0 = tri[:, 0]
@@ -398,7 +400,7 @@ def build_woop_leafs(bvh: BVH, vertices, faces) -> np.ndarray:
     fvals = flat if l_idx is None else flat[l_idx]
     pvals = pid_all if l_idx is None else pid_all[l_idx]
     rows.reshape(-1)[flat12] = fvals.reshape(-1)
-    rows.reshape(-1)[row_idx * np.int32(128) + np.int32(96) + within] = (
+    rows.reshape(-1)[row_idx * np.int32(128) + np.int32(108) + within] = (
         pvals.astype(np.float32)
     )
     return rows

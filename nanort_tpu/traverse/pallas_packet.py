@@ -228,7 +228,7 @@ def _kernel_body(
                                      lrow[0, ba + 5])
                     vv = (m10 * rx + m11 * ry + m12 * rz
                           ) + tt * (m10 * dx + m11 * dy + m12 * dz)
-                    pid_t = lrow[0, 96 + ti].astype(jnp.int32)
+                    pid_t = lrow[0, 108 + ti].astype(jnp.int32)
                     valid = (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                     valid = valid & (tt <= t_b) & (tt >= min_t) & (ti < cnt)
                     if cull_back_face:
@@ -930,9 +930,9 @@ def traverse_bvh8(
                 "with build.bvh8.build_woop_leafs and attach via "
                 "scene._replace(leafs_woop=...)"
             )
-        if scene.max_leaf > 8:
-            raise ValueError("woop rows hold <= 8 triangles; rebuild "
-                             "with max_leaf_primitives<=8")
+        if scene.max_leaf > 9:
+            raise ValueError("woop rows hold <= 9 triangles; rebuild "
+                             "with max_leaf_primitives<=9")
         exact_edge = False
     inkernel_exact = (
         exact_edge

@@ -124,8 +124,8 @@ def test_woop_leaf_table_math():
     nodes = s8.nodes
     checked = 0
     for r in range(s8.num_leaf_rows):
-        pids = rows[r, 96:104].astype(np.int32)
-        for t_i in range(8):
+        pids = rows[r, 108:117].astype(np.int32)
+        for t_i in range(9):
             M = rows[r, 12 * t_i : 12 * t_i + 9].reshape(3, 3)
             p0 = rows[r, 12 * t_i + 9 : 12 * t_i + 12]
             if not np.any(M):
@@ -166,7 +166,7 @@ def test_woop_degenerate_triangle_never_hits():
     opts = BVHBuildOptions(min_leaf_primitives=2, max_leaf_primitives=2)
     bvh, _ = build_triangle_bvh(mesh, opts)
     rows = build_woop_leafs(bvh, v, f)
-    pids = rows[0, 96:104].astype(np.int32)
+    pids = rows[0, 108:117].astype(np.int32)
     slot = int(np.nonzero(pids == 0)[0][0])
     M = rows[0, 12 * slot : 12 * slot + 9].reshape(3, 3)
     # degenerate triangle gets the zero matrix: d'z == 0 for every ray,

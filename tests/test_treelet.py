@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nanort_tpu import BVHBuildOptions, build_triangle_bvh, make_rays
+from nanort_tpu import BVHBuildOptions, build_triangle_bvh
 from nanort_tpu.build.bvh8 import EMPTY_BIG, collapse_bvh8
 from nanort_tpu.io.procedural import (
     make_cornell_box,
