@@ -36,7 +36,12 @@ from .ops.triangle import (
     triangle_prim_bounds,
 )
 from .traverse.brute import brute_force_traverse
-from .traverse.stack import traverse, traverse_triangles
+from .traverse.multi_hit import multi_hit_traverse
+from .traverse.stack import (
+    list_node_intersections,
+    traverse,
+    traverse_triangles,
+)
 
 __version__ = "0.1.0"
 
