@@ -168,7 +168,13 @@ def _trace(scene: PTScene, org, d, min_t, max_t, tile, occlusion=False):
     if scene.scene8 is not None:
         from ..traverse.ray_sort import traverse_bvh8_sorted
 
-        return traverse_bvh8_sorted(scene.scene8, rays, occlusion=occlusion)
+        # engine="turbo" scenes carry the Woop table: Monte Carlo
+        # rendering tolerates its ulp-level deviations by construction
+        woop = getattr(scene.scene8, "leafs_woop", None) is not None
+        return traverse_bvh8_sorted(
+            scene.scene8, rays, occlusion=occlusion,
+            intersector="woop" if woop else "watertight",
+        )
     return traverse_wavefront(scene.packed, rays, tile=tile)
 
 
@@ -367,7 +373,10 @@ def make_pt_scene(
 ) -> PTScene:
     """Assemble a PTScene from host arrays (builds BVH + packed tables).
     ``engine="pallas"`` additionally builds BVH8 tables so every bounce
-    traversal runs through the packet kernel with ray sorting (TPU)."""
+    traversal runs through the packet kernel with ray sorting (TPU);
+    ``engine="turbo"`` also attaches the Woop leaf table so those
+    traversals use the ~24%-faster approximate intersector (deviations
+    are ulp-level — invisible under Monte Carlo noise)."""
     import numpy as np
 
     from .. import build_triangle_bvh
@@ -378,20 +387,33 @@ def make_pt_scene(
         vertices=jnp.asarray(vertices, jnp.float32),
         faces=jnp.asarray(faces, jnp.int32),
     )
-    if engine == "pallas":
+    if engine in ("pallas", "turbo"):
+        leaf = 9 if engine == "turbo" else 8
         bvh, _ = build_triangle_bvh(
-            mesh, BVHBuildOptions(min_leaf_primitives=8, max_leaf_primitives=8)
+            mesh,
+            BVHBuildOptions(
+                min_leaf_primitives=leaf, max_leaf_primitives=leaf
+            ),
         )
     else:
         bvh, _ = build_triangle_bvh(mesh)
     packed = pack_scene(bvh, np.asarray(vertices), np.asarray(faces))
     scene8 = None
-    if engine == "pallas":
-        from ..build.bvh8 import collapse_bvh8
+    if engine in ("pallas", "turbo"):
+        from ..build.bvh8 import build_woop_leafs, collapse_bvh8
 
         s8 = collapse_bvh8(bvh, np.asarray(vertices), np.asarray(faces))
         scene8 = s8._replace(
-            nodes=jnp.asarray(s8.nodes), leafs=jnp.asarray(s8.leafs)
+            nodes=jnp.asarray(s8.nodes),
+            leafs=jnp.asarray(s8.leafs),
+            leafs_woop=(
+                jnp.asarray(
+                    build_woop_leafs(
+                        bvh, np.asarray(vertices), np.asarray(faces)
+                    )
+                )
+                if engine == "turbo" else None
+            ),
         )
     mats = Materials(
         diffuse=jnp.asarray(materials["diffuse"], jnp.float32),
