@@ -399,7 +399,7 @@ def traverse_bvh8_binned(
     rays: Rays,
     options: BVHTraceOptions = BVHTraceOptions(),
     treelets: Treelets | None = None,
-    n_treelets: int = 1024,
+    n_treelets: int = 512,  # measured optimum on the 1M-tri random bench
     K: int = 8,
     sub: int = 8,
     **kw,
