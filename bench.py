@@ -25,15 +25,19 @@ Env knobs:
                        measured +2.7% same-process)
   NANORT_BENCH_SUB    (default 32 -> 4096-ray packets)
   NANORT_BENCH_PATH   ("pallas" | "wavefront", default pallas)
-  NANORT_BENCH_ENGINE ("turbo" | "turbo_refit" | "watertight", default
-                       turbo: Woop unit-triangle leaf kernel — same prim
-                       selection as watertight on 99.997% of rays (rest
-                       are equal-t edge ties), t within 4 ulp on ~97.6%
-                       / rel 1.4e-4 worst case. "turbo_refit" adds a
-                       watertight re-intersection of each selected prim
-                       (bit-exact records, costs a 67M-row gather).
-                       "watertight" is the end-to-end reference-parity
-                       kernel.)
+  NANORT_BENCH_ENGINE ("watertight" | "turbo" | "turbo_refit", default
+                       watertight: the end-to-end reference-parity
+                       kernel — since round 3 it auto-applies the
+                       bit-exact batch specializations (static shear
+                       axis + shared origin, detect_specialization),
+                       measured +17% with 0 record bit-diffs. "turbo"
+                       is the Woop unit-triangle leaf kernel: ~8%
+                       faster still, but NOT parity-grade — t within
+                       4 ulp on only ~97.6% of hits and rays exactly on
+                       shared edges can miss (~1/16K on an axis-aligned
+                       scene). "turbo_refit" adds a watertight
+                       re-intersection of each selected prim (bit-exact
+                       per-prim records, costs a 67M-row gather).)
 """
 
 from __future__ import annotations
@@ -89,18 +93,17 @@ def main():
     if path == "pallas":
         from nanort_tpu.build.bvh8 import build_woop_leafs, collapse_bvh8
         from nanort_tpu.traverse.pallas_packet import (
+            detect_specialization,
             refit_hits_watertight,
             tile_image_rays,
             traverse_bvh8,
         )
 
-        # "turbo" (default): Woop unit-triangle leaf kernel (+24%
-        # measured; docstring above has the measured deviation stats —
-        # prim selection differs only on equal-t edge ties).
-        # "turbo_refit" re-intersects each ray's selected prim with the
-        # reference watertight formula for bit-exact per-prim records.
-        # "watertight" runs the fully reference-parity kernel end to end.
-        engine = os.environ.get("NANORT_BENCH_ENGINE", "turbo")
+        # "watertight" (default): reference-parity records end to end
+        # (BASELINE.json north star). "turbo" trades parity for ~8%
+        # (docstring above). "turbo_refit" restores bit-exact per-prim
+        # records via an XLA re-intersection pass.
+        engine = os.environ.get("NANORT_BENCH_ENGINE", "watertight")
         s8 = collapse_bvh8(bvh, v, f)
         s8 = s8._replace(
             nodes=jax.device_put(jnp.asarray(s8.nodes)),
@@ -113,11 +116,17 @@ def main():
         tile_h = int(os.environ.get("NANORT_BENCH_TILE_H", 128))  # 128x64 pixel tiles: best measured packet footprint
         tile_w = min((8 * sub * 32) // tile_h, res)
         rays_t, _ = tile_image_rays(rays, min(tile_h, res), tile_w)
+        # bit-exact batch specializations (one-time device check): camera
+        # primaries share a shear axis and one origin -> static-lane leaf
+        # tests + scalar origin terms, measured +17% wt / +8% woop with
+        # ZERO record bit-diffs on this exact workload
+        spec = detect_specialization(rays_t)
+        print(f"# specialization: {spec}", file=sys.stderr)
 
         if engine == "turbo":
             def run():
                 h = traverse_bvh8(s8, rays_t, sub=sub,
-                                  intersector="woop")
+                                  intersector="woop", specialize=spec)
                 # scalar readback forces completion through the tunnel
                 return float(h.t.min()), h
         elif engine == "turbo_refit":
@@ -127,12 +136,12 @@ def main():
 
             def run():
                 h = traverse_bvh8(s8, rays_t, sub=sub,
-                                  intersector="woop")
+                                  intersector="woop", specialize=spec)
                 h = refit(rays_t, h)
                 return float(h.t.min()), h
         else:
             def run():
-                h = traverse_bvh8(s8, rays_t, sub=sub)
+                h = traverse_bvh8(s8, rays_t, sub=sub, specialize=spec)
                 return float(h.t.min()), h
     else:
         from nanort_tpu.traverse.packed import pack_scene

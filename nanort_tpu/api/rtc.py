@@ -120,6 +120,7 @@ class RTCScene:
         sg.commit(options)
         self._sg = sg
         self._scene8 = None
+        self._flat_pack = None
         if fast is None:
             import jax
 
@@ -156,6 +157,18 @@ class RTCScene:
                 opt8,
             )
             self._scene8 = collapse_bvh8(bvh8_src, flat_v, flat_f)
+            # flat-prim-id -> (geom id, local prim) remap tables + the
+            # world-space mesh, for the fast closest-hit path
+            gids = sorted(self._geoms)
+            tri_counts = [len(self._geoms[g].indices) for g in gids]
+            offs = np.zeros(len(gids), np.int32)
+            np.cumsum(tri_counts[:-1], out=offs[1:])
+            self._flat_pack = (
+                jnp.asarray(flat_v),
+                jnp.asarray(flat_f, jnp.int32),
+                jnp.asarray(offs),
+                jnp.asarray(np.asarray(gids, np.uint32)),
+            )
         self._committed = True
 
     def bounds(self):
@@ -165,9 +178,19 @@ class RTCScene:
 
     def intersect(self, rays: Rays, cull_back_face: bool = False):
         """rtcIntersect over a ray batch. Returns a SceneHits whose
-        node_id maps back to geometry ids via geom_ids()."""
+        node_id maps back to geometry ids via geom_ids().
+
+        When commit() built the fast tables, closest-hit runs through
+        the Morton-sorted Pallas packet kernel over the flattened
+        world-space mesh (reference rtcIntersect wraps the two-level
+        NanoSG walk, nanort-embree.cc:515-554 — here one world-space BVH
+        is exactly the committed scene since transforms are baked at
+        commit; for non-identity transforms t/u/v may differ at ulp
+        level from the local-space walk the reference performs)."""
         self._check()
         opt = BVHTraceOptions(cull_back_face=cull_back_face)
+        if self._scene8 is not None:
+            return self._intersect_fast(rays, opt)
         hits = self._sg.traverse(rays, opt)
         # remap instance index -> geometry id
         lut = np.full(max(self._node_of) + 2, INVALID_PRIM_ID, np.uint32)
@@ -179,6 +202,41 @@ class RTCScene:
         )
         geom = jnp.where(hits.hit, geom, jnp.uint32(INVALID_PRIM_ID))
         return hits._replace(node_id=geom)
+
+    def _intersect_fast(self, rays: Rays, opt: BVHTraceOptions):
+        from ..core.math import normalize
+        from ..scene.graph import SceneHits
+        from ..traverse.ray_sort import traverse_bvh8_sorted
+
+        h = traverse_bvh8_sorted(self._scene8, rays, opt)
+        flat_v, flat_f, offs, gid_arr = self._flat_pack
+        hit = h.prim_id != jnp.uint32(INVALID_PRIM_ID)
+        pid = jnp.where(hit, h.prim_id, 0).astype(jnp.int32)
+        gi = (
+            jnp.searchsorted(offs, pid, side="right").astype(jnp.int32) - 1
+        )
+        miss = jnp.uint32(INVALID_PRIM_ID)
+        geom = jnp.where(hit, jnp.take(gid_arr, gi), miss)
+        local = jnp.where(
+            hit, (pid - jnp.take(offs, gi)).astype(jnp.uint32), miss
+        )
+        pos = rays.org + h.t[..., None] * rays.dir
+        tri = jnp.take(flat_v, jnp.take(flat_f, pid, axis=0), axis=0)
+        ng = normalize(jnp.cross(
+            tri[..., 1, :] - tri[..., 0, :], tri[..., 2, :] - tri[..., 0, :]
+        ))
+        h3 = hit[..., None]
+        zero3 = jnp.zeros_like(pos)
+        return SceneHits(
+            t=h.t,
+            u=h.u,
+            v=h.v,
+            prim_id=local,
+            node_id=geom,
+            position=jnp.where(h3, pos, zero3),
+            normal_g=jnp.where(h3, ng, zero3),
+            normal_s=jnp.where(h3, ng, zero3),
+        )
 
     def occluded(self, rays: Rays) -> jnp.ndarray:
         """rtcOccluded: boolean any-hit per ray. Uses the sorted

@@ -51,9 +51,13 @@ EMPTY_BIG = 3.0e38
 class BVH8Scene:
     """Pytree: array tables are children, sizes are static aux data (so
     jitted callers can use them as shape/unroll parameters even when the
-    scene itself is a traced argument)."""
+    scene itself is a traced argument).
 
-    nodes: np.ndarray  # (N8+1, 128) f32 (includes the dummy park row)
+    ``width`` is the node fan-out: 8 (one row per node) or 16 (two
+    consecutive rows per node, ``collapse_bvh16``) — the packet kernel
+    fetches ``width // 8`` rows per node pop."""
+
+    nodes: np.ndarray  # ((N+1) * width//8, 128) f32 (incl. dummy park node)
     leafs: np.ndarray  # (M, 128) f32
     num_nodes: int
     num_leaf_rows: int
@@ -62,6 +66,7 @@ class BVH8Scene:
     # optional Woop unit-triangle leaf table (build_woop_leafs): per-tri
     # affine transforms for the turbo intersector (intersector="woop")
     leafs_woop: np.ndarray | None = None
+    width: int = 8
 
     def _replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -71,9 +76,11 @@ jax.tree_util.register_pytree_node(
     BVH8Scene,
     lambda s: (
         (s.nodes, s.leafs, s.leafs_woop),
-        (s.num_nodes, s.num_leaf_rows, s.depth, s.max_leaf),
+        (s.num_nodes, s.num_leaf_rows, s.depth, s.max_leaf, s.width),
     ),
-    lambda aux, ch: BVH8Scene(ch[0], ch[1], *aux, leafs_woop=ch[2]),
+    lambda aux, ch: BVH8Scene(
+        ch[0], ch[1], *aux[:4], leafs_woop=ch[2], width=aux[4]
+    ),
 )
 
 
@@ -82,34 +89,64 @@ def _surface_area(bmin, bmax):
     return 2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
 
 
-def _leaf_scatter_index(offsets, counts):
-    """Vectorized (row, slot, tri) index triplets for packing leaf rows
-    (a Python loop over ~1M-triangle tables costs tens of seconds).
+def _fill_leaf_rows(rows, offsets, counts, vals, stride, lane0,
+                    pid_vals=None, pid_lane=0):
+    """Pack per-triangle ``vals`` (L, stride) into leaf rows at
+    ``lane0 + stride*slot`` (+ pids at ``pid_lane + slot``), WITHOUT
+    materializing a flat scatter-index array: the (L, 1) + (stride,)
+    index broadcast alone cost ~8 s at 2M tris on this throttled vCPU.
 
-    ``l_idx`` is None when the leaf [offset, offset+count) ranges tile
-    the index array contiguously in order (the preorder invariant every
-    builder here maintains) — then tri ``k`` of the packed stream IS
-    leaf-stream element ``k`` and callers skip a 9-wide gather that
-    costs seconds on this host. int32 throughout: the int64 broadcast
-    forms measured ~10 s at 1M tris on the throttled vCPU."""
-    counts = counts.astype(np.int32)
-    offsets = offsets.astype(np.int32)
-    total = int(counts.sum())
-    row_idx = np.repeat(
-        np.arange(counts.shape[0], dtype=np.int32), counts
-    )
-    starts = np.zeros(counts.shape[0], np.int32)
+    Fast paths (in order): uniform counts over a contiguous leaf stream
+    -> two strided block copies; otherwise grouped-by-count flat gathers
+    (<= 10 groups)."""
+    counts = counts.astype(np.int64)
+    offsets = offsets.astype(np.int64)
+    m = counts.shape[0]
+    starts = np.zeros(m, np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    within = np.arange(total, dtype=np.int32) - np.repeat(starts, counts)
-    if offsets.shape[0] == 0 or (
+    contiguous = m == 0 or (
         offsets[0] == 0 and np.array_equal(offsets, starts)
-    ):
-        return row_idx, within, None
-    l_idx = np.repeat(offsets, counts) + within
-    return row_idx, within, l_idx
+    )
+    if not contiguous:
+        # non-preorder builders: reorder the value stream leaf-first
+        l_idx = np.repeat(offsets, counts) + (
+            np.arange(int(counts.sum()), dtype=np.int64)
+            - np.repeat(starts, counts)
+        )
+        vals = vals[l_idx]
+        if pid_vals is not None:
+            pid_vals = pid_vals[l_idx]
+    if m and counts.min() == counts.max():
+        c = int(counts[0])
+        rows[:, lane0 : lane0 + stride * c] = vals.reshape(m, stride * c)
+        if pid_vals is not None:
+            rows[:, pid_lane : pid_lane + c] = pid_vals.reshape(m, c)
+        return
+    flat = vals.reshape(-1)
+    rflat = rows.reshape(-1)
+    lanes = rows.shape[1]
+    for c in np.unique(counts):
+        c = int(c)
+        if c == 0:
+            continue
+        sel = np.nonzero(counts == c)[0]
+        seg = starts[sel]
+        span = np.arange(stride * c, dtype=np.int64)
+        src = flat[(seg[:, None] * stride + span).reshape(-1)]
+        dst = ((sel * lanes + lane0)[:, None] + span).reshape(-1)
+        rflat[dst] = src
+        if pid_vals is not None:
+            spanc = np.arange(c, dtype=np.int64)
+            rflat[((sel * lanes + pid_lane)[:, None] + spanc).reshape(-1)] = (
+                pid_vals[(seg[:, None] + spanc).reshape(-1)]
+            )
 
 
-def collapse_bvh8(bvh: BVH, vertices, faces) -> BVH8Scene:
+def collapse_bvh8(bvh: BVH, vertices, faces, width: int = 8) -> BVH8Scene:
+    if width not in (8, 16):
+        raise ValueError(f"width must be 8 or 16: {width}")
+    W = width
+    NR = W // 8  # rows per node
     vertices = np.asarray(vertices, np.float32)
     faces = np.asarray(faces)
     bmin = np.asarray(bvh.bmin, np.float32)
@@ -134,19 +171,10 @@ def collapse_bvh8(bvh: BVH, vertices, faces) -> BVH8Scene:
     m = leaf_ids.shape[0]
     leafs = np.zeros((max(m, 1), 128), np.float32)
     tri_all = vertices[faces[indices]].reshape(-1, 9)  # leaf-ordered
-    pid_all = indices.astype(np.int32)
-    row_idx, within, l_idx = _leaf_scatter_index(
-        data[leaf_ids, 1], counts
-    )
-    # 1-D flat-index scatter: the 2-D broadcasted fancy-index form costs
-    # ~14 s at 1M tris (numpy walks the index product elementwise)
-    base9 = row_idx * np.int32(128) + np.int32(9) * within
-    flat9 = (base9[:, None] + np.arange(9, dtype=np.int32)).reshape(-1)
-    tvals = tri_all if l_idx is None else tri_all[l_idx]
-    pvals = pid_all if l_idx is None else pid_all[l_idx]
-    leafs.reshape(-1)[flat9] = tvals.reshape(-1)
-    leafs.reshape(-1)[row_idx * np.int32(128) + np.int32(90) + within] = (
-        pvals.astype(np.float32)
+    pid_all = indices.astype(np.int32).astype(np.float32)
+    _fill_leaf_rows(
+        leafs, data[leaf_ids, 1], counts, tri_all, 9, 0,
+        pid_vals=pid_all, pid_lane=90,
     )
 
     # ---- node collapse (vectorized, level-synchronous BFS) ----
@@ -156,18 +184,18 @@ def collapse_bvh8(bvh: BVH, vertices, faces) -> BVH8Scene:
     # nothing downstream relies on preorder — children are addressed by
     # explicit meta lanes.
     def cut8_batch(roots):
-        """Greedy cuts of up to 8 binary descendants for every root at
+        """Greedy cuts of up to W binary descendants for every root at
         once: repeatedly split the largest-surface-area internal cut
         member (same pick order as the reference-style serial cut; ties
         resolve to the lowest slot, matching first-strict-max)."""
         n = roots.shape[0]
-        ids = np.full((n, 8), 0, np.int64)
+        ids = np.full((n, W), 0, np.int64)
         ids[:, 0] = data[roots, 0]
         ids[:, 1] = data[roots, 1]
         cnt = np.full(n, 2, np.int64)
         rng_n = np.arange(n)
-        slot = np.arange(8)[None, :]
-        for _ in range(6):  # 2 -> 8 members, +1 per expansion
+        slot = np.arange(W)[None, :]
+        for _ in range(W - 2):  # 2 -> W members, +1 per expansion
             valid = slot < cnt[:, None]
             isint = valid & (flag[ids] == 0)
             d = np.maximum(bmax[ids] - bmin[ids], 0.0)
@@ -178,47 +206,54 @@ def collapse_bvh8(bvh: BVH, vertices, faces) -> BVH8Scene:
             )
             sa = np.where(isint, sa, -1.0)
             j = np.argmax(sa, axis=1)
-            can = (sa[rng_n, j] >= 0.0) & (cnt < 8)
+            can = (sa[rng_n, j] >= 0.0) & (cnt < W)
             c = ids[rng_n, j]
             ids[can, j[can]] = data[c[can], 0]
             ids[can, cnt[can]] = data[c[can], 1]
             cnt[can] += 1
         return ids, cnt
 
+    def empty_rows(shape):
+        r = np.zeros(shape, np.float32)
+        r[..., 0:64:8] = EMPTY_BIG
+        r[..., 1:64:8] = EMPTY_BIG
+        r[..., 2:64:8] = EMPTY_BIG
+        r[..., 3:64:8] = -EMPTY_BIG
+        r[..., 4:64:8] = -EMPTY_BIG
+        r[..., 5:64:8] = -EMPTY_BIG
+        return r
+
     if flag[0] == 1:
         # degenerate single-leaf tree: one node with one leaf child
-        nodes = np.zeros((2, 128), np.float32)
-        for r in range(2):
-            nodes[r, 0:64:8] = EMPTY_BIG
-            nodes[r, 1:64:8] = EMPTY_BIG
-            nodes[r, 2:64:8] = EMPTY_BIG
-            nodes[r, 3:64:8] = -EMPTY_BIG
-            nodes[r, 4:64:8] = -EMPTY_BIG
-            nodes[r, 5:64:8] = -EMPTY_BIG
-        nodes[0, 0:3] = bmin[0]
-        nodes[0, 3:6] = bmax[0]
-        nodes[0, 64] = np.float32(-(leaf_row_of[0] + 1))
-        nodes[0, 72] = np.float32(data[0, 0])
+        nodes3 = empty_rows((2, NR, 128))
+        nodes3[0, 0, 0:3] = bmin[0]
+        nodes3[0, 0, 3:6] = bmax[0]
+        nodes3[0, 0, 64] = np.float32(-(leaf_row_of[0] + 1))
+        nodes3[0, 0, 72] = np.float32(data[0, 0])
+        nodes = nodes3.reshape(-1, 128)
+        total = 1
         max_depth = 0
     else:
         level_rows: list[np.ndarray] = []
+        level_meta: list[np.ndarray] = []  # (n, W) int64 node-id metas
+        level_isint: list[np.ndarray] = []
         frontier = np.zeros(1, np.int64)  # binary roots of this level
-        row_base = 0
+        node_base = 0
         max_depth = 0
         while frontier.size:
             n = frontier.shape[0]
             ids, cnt = cut8_batch(frontier)
-            valid = np.arange(8)[None, :] < cnt[:, None]
+            valid = np.arange(W)[None, :] < cnt[:, None]
             child_leaf = valid & (flag[ids] == 1)
             child_int = valid & ~child_leaf
 
             # near-first child order along the widest-centroid axis
-            cent = 0.5 * (bmin[ids] + bmax[ids])  # (n, 8, 3)
+            cent = 0.5 * (bmin[ids] + bmax[ids])  # (n, W, 3)
             c_lo = np.where(valid[..., None], cent, np.inf).min(axis=1)
             c_hi = np.where(valid[..., None], cent, -np.inf).max(axis=1)
             axis = np.argmax(c_hi - c_lo, axis=1)  # (n,)
             key = np.where(
-                valid, cent[np.arange(n)[:, None], np.arange(8)[None, :],
+                valid, cent[np.arange(n)[:, None], np.arange(W)[None, :],
                             axis[:, None]], np.inf
             )
             order = np.argsort(key, axis=1, kind="stable")
@@ -228,51 +263,48 @@ def collapse_bvh8(bvh: BVH, vertices, faces) -> BVH8Scene:
             child_leaf = child_leaf[take, order]
             child_int = child_int[take, order]
 
-            rows = np.zeros((n, 128), np.float32)
-            rows[:, 0:64:8] = EMPTY_BIG
-            rows[:, 1:64:8] = EMPTY_BIG
-            rows[:, 2:64:8] = EMPTY_BIG
-            rows[:, 3:64:8] = -EMPTY_BIG
-            rows[:, 4:64:8] = -EMPTY_BIG
-            rows[:, 5:64:8] = -EMPTY_BIG
-            for c in range(8):
-                v = valid[:, c]
-                rows[v, 8 * c : 8 * c + 3] = bmin[ids[v, c]]
-                rows[v, 8 * c + 3 : 8 * c + 6] = bmax[ids[v, c]]
-            rows[:, 80] = axis.astype(np.float32)
+            rows = empty_rows((n, NR, 128))
+            for w in range(W):
+                r, c = divmod(w, 8)
+                v = valid[:, w]
+                rows[v, r, 8 * c : 8 * c + 3] = bmin[ids[v, w]]
+                rows[v, r, 8 * c + 3 : 8 * c + 6] = bmax[ids[v, w]]
+            rows[:, 0, 80] = axis.astype(np.float32)
             # leaf children: -(leaf_row+1) meta + tri count
             lr = np.where(child_leaf, leaf_row_of[ids], 0)
             lc = np.where(child_leaf, data[ids.clip(0), 0], 0)
-            meta = np.where(child_leaf, -(lr + 1).astype(np.float64), 0.0)
-            # internal children: next level's BFS row ids in row-major
+            meta = np.where(child_leaf, -(lr + 1), 0)
+            # internal children: next level's BFS NODE ids in row-major
             # order over this level's (node, slot) grid
-            next_base = row_base + n
-            int_rank = (np.cumsum(child_int.reshape(-1)) - 1).reshape(n, 8)
+            next_base = node_base + n
+            int_rank = (np.cumsum(child_int.reshape(-1)) - 1).reshape(n, W)
             meta = np.where(child_int, next_base + int_rank, meta)
-            for c in range(8):
-                rows[:, 64 + c] = np.where(
-                    valid[:, c], meta[:, c], 0.0
+            for w in range(W):
+                r, c = divmod(w, 8)
+                rows[:, r, 64 + c] = np.where(
+                    valid[:, w], meta[:, w], 0.0
                 ).astype(np.float32)
-                rows[:, 72 + c] = np.where(
-                    child_leaf[:, c], lc[:, c], 0.0
+                rows[:, r, 72 + c] = np.where(
+                    child_leaf[:, w], lc[:, w], 0.0
                 ).astype(np.float32)
             level_rows.append(rows)
+            level_meta.append(meta.astype(np.int64))
+            level_isint.append(child_int)
             frontier = ids[child_int]
-            row_base = next_base
+            node_base = next_base
             if frontier.size:
                 max_depth += 1
-        bfs = np.concatenate(level_rows)
+        bfs = np.concatenate(level_rows)  # (total, NR, 128)
         total = bfs.shape[0]
-        # ---- reorder BFS rows into DFS preorder (vectorized) ----
+        # ---- reorder BFS nodes into DFS preorder (vectorized) ----
         # Preorder costs ~5% traversal throughput when skipped
         # (measured 456 vs 434 ms on the 1M bench): near-first pops
         # then touch adjacent VMEM rows. Children are always at later
         # BFS levels, so subtree sizes accumulate bottom-up per level
         # and preorder offsets distribute top-down per level.
         starts = np.cumsum([0] + [r.shape[0] for r in level_rows])
-        metas = bfs[:, 64:72].astype(np.int64)
-        valid_l = bfs[:, 0:64:8] < EMPTY_BIG
-        is_int = valid_l & (metas >= 0)
+        metas = np.concatenate(level_meta)  # (total, W)
+        is_int = np.concatenate(level_isint)
         child = np.where(is_int, metas, 0)
         sizes = np.ones(total, np.int64)
         for li in range(len(level_rows) - 1, -1, -1):
@@ -280,36 +312,45 @@ def collapse_bvh8(bvh: BVH, vertices, faces) -> BVH8Scene:
             sizes[a:b] += np.where(
                 is_int[a:b], sizes[child[a:b]], 0
             ).sum(axis=1)
-        perm = np.zeros(total, np.int64)  # BFS idx -> preorder idx
+        perm = np.zeros(total, np.int64)  # BFS node id -> preorder id
         for li in range(len(level_rows) - 1):
             a, b = starts[li], starts[li + 1]
             csz = np.where(is_int[a:b], sizes[child[a:b]], 0)
             prefix = np.cumsum(csz, axis=1) - csz  # exclusive, slot order
             off = perm[a:b, None] + 1 + prefix
             perm[child[a:b][is_int[a:b]]] = off[is_int[a:b]]
-        nodes = np.zeros((total + 1, 128), np.float32)
-        nodes[perm] = bfs
+        nodes3 = np.zeros((total + 1, NR, 128), np.float32)
+        nodes3[perm] = bfs
         # remap internal metas through the permutation
-        for c in range(8):
-            lane = nodes[:, 64 + c].astype(np.int64)
-            vi = (nodes[:, 8 * c] < EMPTY_BIG) & (lane >= 0)
-            nodes[vi, 64 + c] = perm[lane[vi]].astype(np.float32)
-        # dummy park row at index num_nodes: the packet kernel's
+        for w in range(W):
+            r, c = divmod(w, 8)
+            lane = nodes3[:, r, 64 + c].astype(np.int64)
+            vi = (nodes3[:, r, 8 * c] < EMPTY_BIG) & (lane >= 0)
+            nodes3[vi, r, 64 + c] = perm[lane[vi]].astype(np.float32)
+        # dummy park node at id num_nodes: the packet kernel's
         # software-pipelined loop parks on it (empty boxes never hit)
-        nodes[-1, 0:64:8] = EMPTY_BIG
-        nodes[-1, 1:64:8] = EMPTY_BIG
-        nodes[-1, 2:64:8] = EMPTY_BIG
-        nodes[-1, 3:64:8] = -EMPTY_BIG
-        nodes[-1, 4:64:8] = -EMPTY_BIG
-        nodes[-1, 5:64:8] = -EMPTY_BIG
+        nodes3[-1] = empty_rows((NR, 128))
+        nodes = nodes3.reshape(-1, 128)
     return BVH8Scene(
         nodes=nodes,
         leafs=leafs,
-        num_nodes=nodes.shape[0] - 1,  # excludes the dummy row
+        num_nodes=total,  # logical nodes, excludes the dummy
         num_leaf_rows=m,
         depth=max_depth + 1,
         max_leaf=int(counts.max(initial=1)),
+        width=W,
     )
+
+
+def collapse_bvh16(bvh: BVH, vertices, faces) -> BVH8Scene:
+    """16-wide collapse: one node = TWO consecutive (1, 128) rows, each in
+    the BVH8 row format (children 0-7 in the even row, 8-15 in the odd
+    row; the order axis rides the even row's lane 80). The packet kernel
+    fetches the pair as ONE contiguous (2, 128) dynamic slice, so a node
+    pop answers 16 slab tests per vector->scalar sync — double BVH8's
+    rate — without adding in-flight dynamic fetches (3+ of those fault
+    the v5e backend; see pallas_packet.py's pop_n clamp)."""
+    return collapse_bvh8(bvh, vertices, faces, width=16)
 
 
 def build_woop_leafs(bvh: BVH, vertices, faces) -> np.ndarray:
@@ -363,44 +404,49 @@ def build_woop_leafs(bvh: BVH, vertices, faces) -> np.ndarray:
             f"block at lane 108); build with max_leaf_primitives<=9 "
             f"(got {counts.max()})"
         )
-    tri = vertices[faces[indices]]  # (L, 3, 3) leaf-ordered, f64
-    p0 = tri[:, 0]
-    e1 = tri[:, 1] - p0
-    e2 = tri[:, 2] - p0
-    n = np.cross(e1, e2)
     # closed-form inverse of E = [e1 e2 n] (columns) via the adjugate:
     # np.linalg.inv on (L, 3, 3) runs a per-matrix LAPACK solve (~45 s
     # at 1M tris on this host); the vectorized cofactor form is ~30
     # flops/tri. Rows of E^-1 are the cross products of the other two
-    # columns over det, det = e1 . (e2 x n) = n . n.
-    det = np.einsum("ij,ij->i", n, n)
-    ok = det > 0.0
-    safe = np.where(ok, det, 1.0)[:, None]
-    M = np.stack(
-        [
-            np.cross(e2, n) / safe,
-            np.cross(n, e1) / safe,
-            n / safe,
-        ],
-        axis=1,
-    )  # (L, 3, 3): row i = i-th row of E^-1
-    M = np.where(ok[:, None, None], M, 0.0)
+    # columns over det, det = e1 . (e2 x n) = n . n. Computed in
+    # cache-sized chunks with manual cross products: whole-array
+    # np.cross/np.stack allocate ~350 MB of f64 temporaries, and
+    # first-touch page faults on this throttled vCPU cost ~25 s/2M tris.
+    L = indices.shape[0]
+    flat = np.empty((L, 12), np.float32)  # M rows + anchor p0
+    CHUNK = 1 << 18
+    for a in range(0, L, CHUNK):
+        b = min(a + CHUNK, L)
+        tri = vertices[faces[indices[a:b]]]  # (c, 3, 3) f64
+        p0 = tri[:, 0]
+        e1 = tri[:, 1] - p0
+        e2 = tri[:, 2] - p0
+
+        def cross(x, y):
+            return (
+                x[:, 1] * y[:, 2] - x[:, 2] * y[:, 1],
+                x[:, 2] * y[:, 0] - x[:, 0] * y[:, 2],
+                x[:, 0] * y[:, 1] - x[:, 1] * y[:, 0],
+            )
+
+        nx, ny, nz = cross(e1, e2)
+        det = nx * nx + ny * ny + nz * nz
+        ok = det > 0.0
+        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+        n3 = np.stack([nx, ny, nz], axis=1)
+        r0 = cross(e2, n3)
+        r1 = cross(n3, e1)
+        for k in range(3):
+            flat[a:b, k] = r0[k] * inv
+            flat[a:b, 3 + k] = r1[k] * inv
+            flat[a:b, 6 + k] = n3[:, k] * inv
+            flat[a:b, 9 + k] = p0[:, k]
     pid_all = indices.astype(np.int32)
 
     m = leaf_ids.shape[0]
     rows = np.zeros((max(m, 1), 128), np.float32)
-    flat = np.concatenate(
-        [M.reshape(-1, 9), p0], axis=1
-    ).astype(np.float32)  # (L, 12)
-    row_idx, within, l_idx = _leaf_scatter_index(
-        data[leaf_ids, 1], counts
-    )
-    base12 = row_idx * np.int32(128) + np.int32(12) * within
-    flat12 = (base12[:, None] + np.arange(12, dtype=np.int32)).reshape(-1)
-    fvals = flat if l_idx is None else flat[l_idx]
-    pvals = pid_all if l_idx is None else pid_all[l_idx]
-    rows.reshape(-1)[flat12] = fvals.reshape(-1)
-    rows.reshape(-1)[row_idx * np.int32(128) + np.int32(108) + within] = (
-        pvals.astype(np.float32)
+    _fill_leaf_rows(
+        rows, data[leaf_ids, 1], counts, flat, 12, 0,
+        pid_vals=pid_all.astype(np.float32), pid_lane=108,
     )
     return rows

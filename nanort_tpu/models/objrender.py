@@ -56,7 +56,34 @@ def shading_normals(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("options", "max_leaf"))
+def _traverse_primary(bvh, mesh, rays, options, max_leaf, scene8,
+                      specialize=None):
+    """Primary-visibility traversal. Image-shaped batches go through the
+    packet kernel in pixel tiles (each packet covers a compact frustum —
+    the bench path); other shapes fall back to Morton-sorted packets."""
+    if scene8 is None:
+        return traverse_triangles(bvh, mesh, rays, options, max_leaf=max_leaf)
+    bs = rays.batch_shape
+    if len(bs) == 2:
+        from ..traverse.pallas_packet import tile_image_rays, traverse_bvh8
+
+        h, w = bs
+        th = min(128, h)
+        tw = min(64, w)
+        if h % th == 0 and w % tw == 0:
+            rays_t, untile = tile_image_rays(rays, th, tw)
+            return untile(
+                traverse_bvh8(rays=rays_t, scene=scene8, options=options,
+                              specialize=specialize)
+            )
+    from ..traverse.ray_sort import traverse_bvh8_sorted
+
+    return traverse_bvh8_sorted(scene8, rays, options)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("options", "max_leaf", "specialize")
+)
 def render_aovs(
     bvh,
     mesh: TriangleMesh,
@@ -65,16 +92,17 @@ def render_aovs(
     options: BVHTraceOptions = BVHTraceOptions(),
     max_leaf: int = 4,
     scene8=None,
+    specialize=None,
 ):
     """One primary-visibility pass returning the AOV dict. Pass ``scene8``
     (a device-resident build.bvh8.BVH8Scene) to run traversals through
-    the Pallas packet kernel with ray sorting — the TPU fast path."""
-    if scene8 is not None:
-        from ..traverse.ray_sort import traverse_bvh8_sorted
-
-        hits = traverse_bvh8_sorted(scene8, rays, options)
-    else:
-        hits = traverse_triangles(bvh, mesh, rays, options, max_leaf=max_leaf)
+    the Pallas packet kernel — the TPU fast path. ``specialize`` forwards
+    a (kz, shared_origin) claim to the packet kernel (see
+    pallas_packet.detect_specialization); camera primaries from one
+    pinhole qualify."""
+    hits = _traverse_primary(
+        bvh, mesh, rays, options, max_leaf, scene8, specialize
+    )
     hit = hits.hit
     n = shading_normals(mesh, attrs, hits)
     # flip toward the ray like the normal-shading example output
@@ -119,7 +147,8 @@ def build_onb(n: jnp.ndarray):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_samples", "options", "max_leaf")
+    jax.jit, static_argnames=("n_samples", "options", "max_leaf",
+                              "specialize")
 )
 def render_ao(
     bvh,
@@ -131,13 +160,21 @@ def render_ao(
     options: BVHTraceOptions = BVHTraceOptions(),
     max_leaf: int = 4,
     scene8=None,
+    specialize=None,
 ):
     """Ambient occlusion: fraction of unoccluded cosine-hemisphere
     samples from each primary hit point. Secondary rays skip the hit
     primitive instead of epsilon-offsetting alone (skip_prim_id,
     nanort.h:611-614). ``scene8`` routes all traversals through the
-    sorted packet kernel."""
-    aovs, hits = render_aovs(bvh, mesh, rays, None, options, max_leaf, scene8)
+    packet kernel.
+
+    All ``n_samples`` occlusion rays per pixel launch as ONE megabatch
+    traversal (the reference's per-sample loop, objrender-style, is
+    launch-overhead bound on TPU: 8 small dispatches cost ~20x the
+    kernel time at 512^2)."""
+    aovs, hits = render_aovs(
+        bvh, mesh, rays, None, options, max_leaf, scene8, specialize
+    )
     hit = hits.hit
     n = aovs["normal"]
     # face the normal toward the incoming ray
@@ -149,31 +186,36 @@ def render_ao(
     dt = rays.dtype
     eps = jnp.asarray(1e-4, dt)
 
-    def one_sample(i, acc):
-        k = jax.random.fold_in(key, i)
-        d_local = _cosine_hemisphere(k, hit.shape, dt)
-        d = (
-            d_local[..., 0:1] * t
-            + d_local[..., 1:2] * bt
-            + d_local[..., 2:3] * n
+    S = n_samples
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(S))
+    d_local = jax.vmap(
+        lambda k: _cosine_hemisphere(k, hit.shape, dt)
+    )(keys)  # (S, ..., 3)
+    d = (
+        d_local[..., 0:1] * t[None]
+        + d_local[..., 1:2] * bt[None]
+        + d_local[..., 2:3] * n[None]
+    )
+    org = jnp.broadcast_to((p + eps * n)[None], d.shape)
+    sec = make_rays(
+        org.reshape(-1, 3), d.reshape(-1, 3), min_t=0.0, max_t=ao_radius
+    )
+    skip = jnp.broadcast_to(hits.prim_id[None], (S,) + hit.shape)
+    if scene8 is not None:
+        from ..traverse.ray_sort import traverse_bvh8_sorted
+
+        occ = traverse_bvh8_sorted(
+            scene8, sec, options, skip_prim_id=skip.reshape(-1),
+            occlusion=True,
         )
-        sec = make_rays(p + eps * n, d, min_t=0.0, max_t=ao_radius)
-        if scene8 is not None:
-            from ..traverse.ray_sort import traverse_bvh8_sorted
-
-            occ = traverse_bvh8_sorted(
-                scene8, sec, options, skip_prim_id=hits.prim_id,
-                occlusion=True,
-            )
-        else:
-            occ = traverse_triangles(
-                bvh, mesh, sec, options, skip_prim_id=hits.prim_id,
-                max_leaf=max_leaf,
-            )
-        return acc + jnp.where(hit & ~occ.hit, 1.0, 0.0)
-
-    open_frac = jax.lax.fori_loop(
-        0, n_samples, one_sample, jnp.zeros(hit.shape, dt)
-    ) / n_samples
+    else:
+        occ = traverse_triangles(
+            bvh, mesh, sec, options, skip_prim_id=skip.reshape(-1),
+            max_leaf=max_leaf,
+        )
+    unocc = (~occ.hit).reshape((S,) + hit.shape)
+    open_frac = jnp.sum(
+        jnp.where(hit[None], unocc.astype(dt), 0.0), axis=0
+    ) / S
     ao = jnp.where(hit, open_frac, 0.0)
     return {**aovs, "ao": ao, "rgb": ao[..., None].repeat(3, -1)}, hits

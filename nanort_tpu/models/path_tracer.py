@@ -342,6 +342,16 @@ def trace_paths(
     return st["color"]
 
 
+def _auto_spp_batch(spp: int, n_rays: int, cap_rays: int = 8_388_608):
+    """Largest divisor of spp whose megabatch stays under ~8M rays (one
+    compile, equal chunk shapes)."""
+    best = 1
+    for k in range(1, spp + 1):
+        if spp % k == 0 and k * n_rays <= cap_rays:
+            best = k
+    return best
+
+
 def render_path_traced(
     scene: PTScene,
     cam_rays: Rays,
@@ -349,20 +359,37 @@ def render_path_traced(
     spp: int = 8,
     max_bounces: int = 10,
     tile: int = 8192,
+    spp_batch: int | None = None,
 ):
     """Accumulate spp samples per camera ray; returns linear RGB with the
     camera-ray batch shape + (3,). (The reference's SPP loop,
-    main.cc:806-980; gamma is applied at save time like main.cc:985-987.)"""
+    main.cc:806-980; gamma is applied at save time like main.cc:985-987.)
+
+    Samples advance through the bounce loop in megabatches of
+    ``spp_batch`` samples x all pixels (default: the largest divisor of
+    spp that keeps the batch under ~8M rays). One-sample bounce batches
+    are sort/launch-overhead bound on TPU — batching 16-25 spp together
+    amortizes the per-bounce ray sort and kernel dispatch AND makes the
+    sorted packets denser (more rays per spatial cell)."""
     bs = cam_rays.batch_shape
     org = cam_rays.org.reshape(-1, 3)
     d = cam_rays.dir.reshape(-1, 3)
-    acc = jnp.zeros((org.shape[0], 3), jnp.float32)
-    for s in range(spp):
-        acc = acc + trace_paths(
-            scene, org, d, jax.random.fold_in(key, s),
+    R = org.shape[0]
+    if spp_batch is None:
+        spp_batch = _auto_spp_batch(spp, R)
+    acc = jnp.zeros((R, 3), jnp.float32)
+    s = 0
+    while s < spp:
+        n = min(spp_batch, spp - s)
+        org_all = jnp.broadcast_to(org[None], (n, R, 3)).reshape(-1, 3)
+        dir_all = jnp.broadcast_to(d[None], (n, R, 3)).reshape(-1, 3)
+        col = trace_paths(
+            scene, org_all, dir_all, jax.random.fold_in(key, s),
             max_bounces=max_bounces, tile=tile,
             has_normals=scene.facevarying_normals is not None,
         )
+        acc = acc + col.reshape(n, R, 3).sum(axis=0)
+        s += n
     img = acc / spp
     return img.reshape(*bs, 3)
 

@@ -84,6 +84,13 @@ def _kernel_body(
     intersector: str = "watertight",
     debug_counts: bool = False,
     flag_zero_edges: bool = False,
+    kz_static: int | None = None,
+    shared_origin: bool = False,
+    width: int = 8,
+    nodes_hi_ref=None,
+    leafs_hi_ref=None,
+    n_node_lo: int = 0,
+    n_leaf_lo: int = 0,
 ):
     out_refs = list(out_refs)
     if flag_zero_edges:
@@ -148,24 +155,57 @@ def _kernel_body(
     ix, iy, iz = safe_inv2(dx), safe_inv2(dy), safe_inv2(dz)
     nx, ny, nz = dx < 0, dy < 0, dz < 0
 
-    # watertight shear coefficients (nanort.h:1163-1201), vectorized
-    adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
-    # strict-< chain, first max wins (nanort.h:1166-1176)
-    kz = jnp.where(ady > adx, 1, 0)
-    amax = jnp.where(ady > adx, ady, adx)
-    kz = jnp.where(adz > amax, 2, kz).astype(jnp.int32)
-    kx = (kz + 1) % 3
-    ky = (kx + 1) % 3
-
     def comp(vx, vy, vz, k):
         return jnp.where(k == 0, vx, jnp.where(k == 1, vy, vz))
 
-    dkz = comp(dx, dy, dz, kz)
-    negkz = dkz < 0
-    kx, ky = jnp.where(negkz, ky, kx), jnp.where(negkz, kx, ky)
-    sx = comp(dx, dy, dz, kx) / dkz
-    sy = comp(dx, dy, dz, ky) / dkz
-    sz = 1.0 / dkz
+    if kz_static is None:
+        # watertight shear coefficients (nanort.h:1163-1201), vectorized
+        adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+        # strict-< chain, first max wins (nanort.h:1166-1176)
+        kz = jnp.where(ady > adx, 1, 0)
+        amax = jnp.where(ady > adx, ady, adx)
+        kz = jnp.where(adz > amax, 2, kz).astype(jnp.int32)
+        kx = (kz + 1) % 3
+        ky = (kx + 1) % 3
+        dkz = comp(dx, dy, dz, kz)
+        negkz = dkz < 0
+        kx, ky = jnp.where(negkz, ky, kx), jnp.where(negkz, kx, ky)
+        sx = comp(dx, dy, dz, kx) / dkz
+        sy = comp(dx, dy, dz, ky) / dkz
+        sz = 1.0 / dkz
+    else:
+        # static shear axis: every live ray in the batch shares the same
+        # kz = argmax |d| (detect_specialization checked it), so the
+        # per-ray comp() selects collapse to static lane reads. The
+        # reference's winding swap (kx <-> ky when d[kz] < 0,
+        # nanort.h:1180-1184) is skipped: with cull_back_face off it only
+        # negates U, V, W and det globally per ray, which cancels exactly
+        # in every emitted record (IEEE negation commutes with rounding),
+        # so hit/prim/t are bit-identical to the swapped computation.
+        # Sole exception: an exact-edge hit has V or W == +0.0 in both
+        # variants (fl(a-b) of equal values is +0), so u = V*rcp flips
+        # the SIGN OF ZERO (+0 vs -0, == -equal) on such rays — measured
+        # 102/65536 zero-sign u diffs on an axis-aligned scene, zero
+        # diffs elsewhere.
+        KZ = kz_static
+        KX = (KZ + 1) % 3
+        KY = (KZ + 2) % 3
+        d3 = (dx, dy, dz)
+        dkz = d3[KZ]
+        sx = d3[KX] / dkz
+        sy = d3[KY] / dkz
+        sz = 1.0 / dkz
+
+    if shared_origin:
+        # every ray in the batch shares ONE origin (camera primaries):
+        # vertex-minus-origin terms become scalar-unit arithmetic on the
+        # same f32 values, bit-identical to the per-ray vector form.
+        # Degenerate rays were sanitized to min_t = +inf above and can
+        # never validate a hit regardless of the origin used.
+        osx = pkt_ref[0, 20]
+        osy = pkt_ref[0, 21]
+        osz = pkt_ref[0, 22]
+        os3 = (osx, osy, osz)
 
     # per-packet start node (treelet binning roots the packet at its
     # bin's subtree; see traverse/treelet.py) — 0 (the global root) by
@@ -205,15 +245,16 @@ def _kernel_body(
             # the watertight test; not bit-parity with the reference
             def leaf_test_woop(lrow, cnt, carry):
                 t_b, u_b, v_b, p_b = carry
+                rox, roy, roz = os3 if shared_origin else (ox, oy, oz)
                 for ti in range(leaf_unroll):
                     ba = 12 * ti
                     # translate-then-rotate: o' = M (o - p0) keeps the
                     # origin-relative terms well-conditioned (the fused
                     # b = -M p0 form cancels catastrophically when the
                     # scene sits far from the world origin)
-                    rx = ox - lrow[0, ba + 9]
-                    ry = oy - lrow[0, ba + 10]
-                    rz = oz - lrow[0, ba + 11]
+                    rx = rox - lrow[0, ba + 9]
+                    ry = roy - lrow[0, ba + 10]
+                    rz = roz - lrow[0, ba + 11]
                     m20, m21, m22 = (lrow[0, ba + 6], lrow[0, ba + 7],
                                      lrow[0, ba + 8])
                     opz = m20 * rx + m21 * ry + m22 * rz
@@ -256,24 +297,37 @@ def _kernel_body(
                 t_b, u_b, v_b, p_b, z_b = carry
             else:
                 t_b, u_b, v_b, p_b = carry
+            ro3 = os3 if shared_origin else (ox, oy, oz)
             for ti in range(leaf_unroll):
                 p0x, p0y, p0z = lrow[0, 9 * ti], lrow[0, 9 * ti + 1], lrow[0, 9 * ti + 2]
                 p1x, p1y, p1z = lrow[0, 9 * ti + 3], lrow[0, 9 * ti + 4], lrow[0, 9 * ti + 5]
                 p2x, p2y, p2z = lrow[0, 9 * ti + 6], lrow[0, 9 * ti + 7], lrow[0, 9 * ti + 8]
                 pid_t = lrow[0, 90 + ti].astype(jnp.int32)
 
-                ax_, ay_, az_ = p0x - ox, p0y - oy, p0z - oz
-                bx_, by_, bz_ = p1x - ox, p1y - oy, p1z - oz
-                cx_, cy_, cz_ = p2x - ox, p2y - oy, p2z - oz
-                Az = comp(ax_, ay_, az_, kz)
-                Bz = comp(bx_, by_, bz_, kz)
-                Cz = comp(cx_, cy_, cz_, kz)
-                Ax = comp(ax_, ay_, az_, kx) - sx * Az
-                Ay = comp(ax_, ay_, az_, ky) - sy * Az
-                Bx = comp(bx_, by_, bz_, kx) - sx * Bz
-                By = comp(bx_, by_, bz_, ky) - sy * Bz
-                Cx = comp(cx_, cy_, cz_, kx) - sx * Cz
-                Cy = comp(cx_, cy_, cz_, ky) - sy * Cz
+                a3 = (p0x - ro3[0], p0y - ro3[1], p0z - ro3[2])
+                b3 = (p1x - ro3[0], p1y - ro3[1], p1z - ro3[2])
+                c3 = (p2x - ro3[0], p2y - ro3[1], p2z - ro3[2])
+                if kz_static is None:
+                    Az = comp(*a3, kz)
+                    Bz = comp(*b3, kz)
+                    Cz = comp(*c3, kz)
+                    Ax = comp(*a3, kx) - sx * Az
+                    Ay = comp(*a3, ky) - sy * Az
+                    Bx = comp(*b3, kx) - sx * Bz
+                    By = comp(*b3, ky) - sy * Bz
+                    Cx = comp(*c3, kx) - sx * Cz
+                    Cy = comp(*c3, ky) - sy * Cz
+                else:
+                    # static shear axis: lane reads, no vector selects
+                    # (with shared_origin the a/b/c components are scalar
+                    # too, so only the sx/sy products touch the VPU)
+                    Az, Bz, Cz = a3[KZ], b3[KZ], c3[KZ]
+                    Ax = a3[KX] - sx * Az
+                    Ay = a3[KY] - sy * Az
+                    Bx = b3[KX] - sx * Bz
+                    By = b3[KY] - sy * Bz
+                    Cx = c3[KX] - sx * Cz
+                    Cy = c3[KY] - sy * Cz
 
                 U = Cx * By - Cy * Bx
                 V = Ax * Cy - Ay * Cx
@@ -344,37 +398,68 @@ def _kernel_body(
         leafq_ref[32] = 0  # node pops (slack SMEM slots as counters)
         leafq_ref[33] = 0  # leaf drains
 
-    dummy_idx = nodes_ref.shape[0] - 1  # park row: empty boxes never hit
+    NR = width // 8  # rows per node (16-wide nodes span 2 rows)
+    if nodes_hi_ref is not None:  # park node: empty boxes never hit
+        dummy_idx = (n_node_lo + nodes_hi_ref.shape[0]) // NR - 1
+    else:
+        dummy_idx = nodes_ref.shape[0] // NR - 1
 
     def _fetch_row(idx, slot):
+        """Fetch node id ``idx``'s row block as a (NR, 128) read — one
+        contiguous dynamic slice regardless of width."""
         if hbm_nodes:
             dma = pltpu.make_async_copy(
-                nodes_ref.at[pl.ds(idx, 1)],
-                node_buf.at[pl.ds(slot, 1)],
+                nodes_ref.at[pl.ds(idx * NR, NR)],
+                node_buf.at[pl.ds(slot * NR, NR)],
                 node_sem,
             )
             dma.start()
             dma.wait()
-            return node_buf[pl.ds(slot, 1), :]  # (1, 128)
-        return nodes_ref[pl.ds(idx, 1), :]  # (1, 128)
+            return node_buf[pl.ds(slot * NR, NR), :]  # (NR, 128)
+        if nodes_hi_ref is not None:
+            # split node table (backend-fault probe: large single tables
+            # fault pop_n>2 / lq_cap>2 kernels on v5e) — row idx < n_node_lo
+            # lives in the low table, the rest in the high one
+            ilo = jnp.minimum(idx, n_node_lo - 1)
+            ihi = jnp.maximum(idx - n_node_lo, 0)
+            rlo = nodes_ref[pl.ds(ilo, 1), :]
+            rhi = nodes_hi_ref[pl.ds(ihi, 1), :]
+            return jnp.where(idx < n_node_lo, rlo, rhi)
+        return nodes_ref[pl.ds(idx * NR, NR), :]  # (NR, 128)
 
-    def _slab8(row, t_b, base):
+    def _slab8(rowblk, t_b, base):
+        """Slab-test all ``width`` children of one node block (NR, 128);
+        returns their hit bits ORed at ``base``."""
         m = None
-        for cc in range(8):
+        for w in range(width):
+            rr, cc = divmod(w, 8)
+            row = rowblk[rr : rr + 1]
             b0x, b0y, b0z = row[0, 8 * cc], row[0, 8 * cc + 1], row[0, 8 * cc + 2]
             b1x, b1y, b1z = row[0, 8 * cc + 3], row[0, 8 * cc + 4], row[0, 8 * cc + 5]
-            lox = jnp.where(nx, b1x, b0x)
-            hix = jnp.where(nx, b0x, b1x)
-            loy = jnp.where(ny, b1y, b0y)
-            hiy = jnp.where(ny, b0y, b1y)
-            loz = jnp.where(nz, b1z, b0z)
-            hiz = jnp.where(nz, b0z, b1z)
-            t0x = (lox - ox) * ix
-            t0y = (loy - oy) * iy
-            t0z = (loz - oz) * iz
-            t1x = (hix - ox) * ix * MM
-            t1y = (hiy - oy) * iy * MM
-            t1z = (hiz - oz) * iz * MM
+            if shared_origin:
+                # subtract-then-select: (bound - origin) are scalar-unit
+                # subtractions of the exact same f32 values, so the
+                # selected per-ray slab distances are bit-identical to
+                # the select-then-subtract vector form
+                t0x = jnp.where(nx, b1x - osx, b0x - osx) * ix
+                t0y = jnp.where(ny, b1y - osy, b0y - osy) * iy
+                t0z = jnp.where(nz, b1z - osz, b0z - osz) * iz
+                t1x = jnp.where(nx, b0x - osx, b1x - osx) * ix * MM
+                t1y = jnp.where(ny, b0y - osy, b1y - osy) * iy * MM
+                t1z = jnp.where(nz, b0z - osz, b1z - osz) * iz * MM
+            else:
+                lox = jnp.where(nx, b1x, b0x)
+                hix = jnp.where(nx, b0x, b1x)
+                loy = jnp.where(ny, b1y, b0y)
+                hiy = jnp.where(ny, b0y, b1y)
+                loz = jnp.where(nz, b1z, b0z)
+                hiz = jnp.where(nz, b0z, b1z)
+                t0x = (lox - ox) * ix
+                t0y = (loy - oy) * iy
+                t0z = (loz - oz) * iz
+                t1x = (hix - ox) * ix * MM
+                t1y = (hiy - oy) * iy * MM
+                t1z = (hiz - oz) * iz * MM
             tmin = min_t
             tmin = jnp.where(t0x > tmin, t0x, tmin)
             tmin = jnp.where(t0y > tmin, t0y, tmin)
@@ -383,29 +468,32 @@ def _kernel_body(
             tmax = jnp.where(t1x < tmax, t1x, tmax)
             tmax = jnp.where(t1y < tmax, t1y, tmax)
             tmax = jnp.where(t1z < tmax, t1z, tmax)
-            hit_c = (tmin <= tmax).astype(jnp.int32) << (base + cc)
+            hit_c = (tmin <= tmax).astype(jnp.int32) << (base + w)
             m = hit_c if m is None else m | hit_c
         return m
 
-    def _push8(row, mask, base, sp, lq):
+    def _push8(rowblk, mask, base, sp, lq):
         # near-first pop order: children are build-sorted near-to-far
         # along the node's order axis (bvh8.py lane 80); LIFO stack means
         # push far-first, so iterate descending for positive direction
         # and ascending for negative.
-        axis_f = row[0, 80]
+        axis_f = rowblk[0, 80]
         neg = jnp.where(
             axis_f == 0.0, neg_ax[0],
             jnp.where(axis_f == 1.0, neg_ax[1], neg_ax[2]),
         )
-        for j in range(8):
-            cc = jnp.where(neg, j, 7 - j)
+        for j in range(width):
+            jd = width - 1 - j
+            ra, ca = divmod(j, 8)
+            rd, cd = divmod(jd, 8)
+            cc = jnp.where(neg, j, jd)
             bit = (mask >> (base + cc)) & 1
-            meta = jnp.where(neg, row[0, 64 + j], row[0, 71 - j]).astype(
-                jnp.int32
-            )
-            cnt = jnp.where(neg, row[0, 72 + j], row[0, 79 - j]).astype(
-                jnp.int32
-            )
+            meta = jnp.where(
+                neg, rowblk[ra, 64 + ca], rowblk[rd, 64 + cd]
+            ).astype(jnp.int32)
+            cnt = jnp.where(
+                neg, rowblk[ra, 72 + ca], rowblk[rd, 72 + cd]
+            ).astype(jnp.int32)
             internal = (meta >= 0).astype(jnp.int32)
             # unconditional writes; pointers advance only when the child
             # is a hit of the matching kind
@@ -433,7 +521,7 @@ def _kernel_body(
             rows.append(_fetch_row(idxk, k))
         m = _slab8(rows[0], t_b, 0)
         for k in range(1, pop_n):
-            m = m | _slab8(rows[k], t_b, 8 * k)
+            m = m | _slab8(rows[k], t_b, width * k)
         # OR-reduce across the tile (VPU roll tree), ONE scalar move
         for sh in (64, 32, 16, 8, 4, 2, 1):
             m = m | pltpu.roll(m, sh, axis=1)
@@ -447,7 +535,7 @@ def _kernel_body(
         # push later-popped (farther) nodes' children first so the
         # nearest node's children pop first
         for k in range(pop_n - 1, 0, -1):
-            sp, lq = _push8(rows[k], mask, 8 * k, sp, lq)
+            sp, lq = _push8(rows[k], mask, width * k, sp, lq)
         sp, lq = _push8(rows[0], mask, 0, sp, lq)
         return sp, lq, t_b
 
@@ -535,6 +623,13 @@ def _kernel_body(
             if hbm_leafs:
                 _leaf_dma(q).wait()
                 lrow = leaf_bufs[pl.ds(q, 1), :]
+            elif leafs_hi_ref is not None:
+                li = packed >> 4
+                llo = leafs_ref[pl.ds(jnp.minimum(li, n_leaf_lo - 1), 1), :]
+                lhi = leafs_hi_ref[
+                    pl.ds(jnp.maximum(li - n_leaf_lo, 0), 1), :
+                ]
+                lrow = jnp.where(li < n_leaf_lo, llo, lhi)
             else:
                 lrow = leafs_ref[pl.ds(packed >> 4, 1), :]
             return leaf_fn(lrow, packed & 15, carry)
@@ -695,9 +790,14 @@ def _make_kernel(
     intersector: str = "watertight",
     debug_counts: bool = False,
     flag_zero_edges: bool = False,
+    kz_static: int | None = None,
+    shared_origin: bool = False,
+    node_split: int = 0,
+    leaf_split: int = 0,
+    width: int = 8,
     interpret: bool = False,
 ):
-    body = functools.partial(
+    inner = functools.partial(
         _kernel_body,
         cull_back_face=cull_back_face,
         exact_edge_fallback=exact_edge_fallback,
@@ -717,7 +817,26 @@ def _make_kernel(
         intersector=intersector,
         debug_counts=debug_counts,
         flag_zero_edges=flag_zero_edges,
+        kz_static=kz_static,
+        shared_origin=shared_origin,
+        width=width,
+        n_node_lo=node_split,
+        n_leaf_lo=leaf_split,
     )
+    if node_split or leaf_split:
+        # input order with splits: nodes_lo [nodes_hi] leafs_lo [leafs_hi]
+        def body(*args):
+            i = 1
+            nodes_hi = args[i] if node_split else None
+            i += 1 if node_split else 0
+            leafs = args[i]
+            i += 1
+            leafs_hi = args[i] if leaf_split else None
+            i += 1 if leaf_split else 0
+            inner(args[0], leafs, *args[i:],
+                  nodes_hi_ref=nodes_hi, leafs_hi_ref=leafs_hi)
+    else:
+        body = inner
     ray_spec = pl.BlockSpec((None, sub, LANES), lambda i: (i, 0, 0))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -730,7 +849,7 @@ def _make_kernel(
     ]
     if hbm_nodes:
         scratch += [
-            pltpu.VMEM((max(2, pop_n), LANES), jnp.float32),
+            pltpu.VMEM((max(2, pop_n) * (width // 8), LANES), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ]
     if hbm_leafs:
@@ -743,13 +862,16 @@ def _make_kernel(
     # trailing dims exactly, which is the only legal sub-8-sublane form
     pkt_spec = pl.BlockSpec((None, 1, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.SMEM)
+    table_specs = [hbm if hbm_nodes else vmem]
+    if node_split:
+        table_specs.append(vmem)
+    table_specs.append(hbm if hbm_leafs else vmem)
+    if leaf_split:
+        table_specs.append(vmem)
     grid_call = pl.pallas_call(
         body,
         grid=(n_packets,),
-        in_specs=[
-            hbm if hbm_nodes else vmem,
-            hbm if hbm_leafs else vmem,
-        ] + [ray_spec] * 9 + [pkt_spec],
+        in_specs=table_specs + [ray_spec] * 9 + [pkt_spec],
         out_specs=(ray_spec,) * n_out,
         out_shape=tuple(
             jax.ShapeDtypeStruct((n_packets, sub, LANES), d)
@@ -878,6 +1000,9 @@ def traverse_bvh8(
     lq_cap: int = 1,
     intersector: str = "watertight",
     packet_roots=None,
+    specialize: tuple | None = None,
+    node_split: bool = False,
+    leaf_split: bool = False,
     debug_counts: bool = False,
     interpret: bool = False,
     _flag_zero_edges: bool = False,
@@ -934,6 +1059,26 @@ def traverse_bvh8(
             raise ValueError("woop rows hold <= 9 triangles; rebuild "
                              "with max_leaf_primitives<=9")
         exact_edge = False
+    # specialize: (kz_static, shared_origin) whole-batch specialization
+    # (see detect_specialization). kz_static collapses the watertight
+    # comp() selects to static lanes; shared_origin scalarizes the
+    # vertex/bound-minus-origin terms. Both are bit-exact rewrites of
+    # the generic kernel — records are unchanged (the caller is
+    # responsible for the batch actually satisfying the claim; use
+    # detect_specialization to check on device).
+    kz_static = None
+    shared_origin = False
+    if specialize is not None:
+        kz_static, shared_origin = specialize
+        if kz_static not in (None, 0, 1, 2):
+            raise ValueError(f"kz_static must be None/0/1/2: {kz_static}")
+        if intersector == "woop" or (
+            kz_static is not None and options.cull_back_face
+        ):
+            # woop has no shear axis; under back-face culling the
+            # reference's winding swap changes accept decisions, so the
+            # swap-free static path is only valid without culling
+            kz_static = None
     inkernel_exact = (
         exact_edge
         and exact_mode in ("auto", "twopass")
@@ -959,6 +1104,15 @@ def traverse_bvh8(
         raise ValueError(f"unknown scene_space {scene_space!r}")
     hbm_nodes = scene_space == "hbm"
     hbm_leafs = scene_space in ("hbm", "hbm_leafs")
+    width = getattr(scene, "width", 8)
+    if width == 16:
+        # 16-wide nodes: 32 mask bits at pop_n=2 is the int32 budget;
+        # the frustum scalar phase and the split-table probe only
+        # implement the 8-wide row walk
+        node_split = False
+        if frustum is True:
+            raise ValueError("frustum node phase supports width=8 only")
+        frustum = False
     bs = rays.batch_shape
     flat = jax.tree_util.tree_map(
         lambda x: x.reshape((-1,) + x.shape[len(bs):]), rays
@@ -1050,11 +1204,36 @@ def traverse_bvh8(
         )
     else:
         roots_f = jnp.zeros((n_packets, 1), jnp.float32)
-    # one 128-lane SMEM row per packet: [0:14] frustum bounds, [16] root
+    # one 128-lane SMEM row per packet: [0:14] frustum bounds, [16] root,
+    # [20:23] shared origin (when the shared_origin specialization is on)
+    if shared_origin:
+        org_row = jnp.broadcast_to(
+            flat.org[0].astype(jnp.float32)[None, :], (n_packets, 3)
+        )
+    else:
+        org_row = jnp.zeros((n_packets, 3), jnp.float32)
     pkt_arr = jnp.concatenate(
-        [pkt_arr, roots_f, jnp.zeros((n_packets, LANES - 17), jnp.float32)],
+        [pkt_arr, roots_f, jnp.zeros((n_packets, 3), jnp.float32),
+         org_row, jnp.zeros((n_packets, LANES - 23), jnp.float32)],
         axis=1,
     ).reshape(n_packets, 1, LANES)
+    nodes_arr = jnp.asarray(scene.nodes)
+    leafs_arr = jnp.asarray(
+        scene.leafs_woop if intersector == "woop" else scene.leafs
+    )
+    tables = []
+    n_node_lo = 0
+    if node_split and not hbm_nodes and nodes_arr.shape[0] >= 2:
+        n_node_lo = (nodes_arr.shape[0] + 1) // 2
+        tables += [nodes_arr[:n_node_lo], nodes_arr[n_node_lo:]]
+    else:
+        tables += [nodes_arr]
+    n_leaf_lo = 0
+    if leaf_split and not hbm_leafs and leafs_arr.shape[0] >= 2:
+        n_leaf_lo = (leafs_arr.shape[0] + 1) // 2
+        tables += [leafs_arr[:n_leaf_lo], leafs_arr[n_leaf_lo:]]
+    else:
+        tables += [leafs_arr]
     kern = _make_kernel(
         n_packets,
         sub,
@@ -1066,7 +1245,7 @@ def traverse_bvh8(
         # 16*depth bound overflowed the SMEM stack and faulted the chip)
         _stack_slots
         if _stack_slots is not None
-        else max(64, 8 * scene.depth * max(2, pop_n) + 64),
+        else max(64, width * scene.depth * max(2, pop_n) + 64),
         vmem_mb,
         scene.max_leaf,
         pop_n,
@@ -1082,6 +1261,11 @@ def traverse_bvh8(
         intersector,
         debug_counts,
         _flag_zero_edges,
+        kz_static,
+        shared_origin,
+        n_node_lo,
+        n_leaf_lo,
+        width,
         # NOTE: interpret=True nominally lets CPU cover this kernel, but
         # the Pallas interpreter is impractically slow on it (a 256-ray
         # toy config exceeds 9 min); TPU verification stays with
@@ -1089,9 +1273,7 @@ def traverse_bvh8(
         interpret=interpret,
     )
     outs = kern(
-        jnp.asarray(scene.nodes),
-        jnp.asarray(scene.leafs_woop if intersector == "woop"
-                    else scene.leafs),
+        *tables,
         ox, oy, oz, dx, dy, dz, mint, maxt, skip, pkt_arr,
     )
     t, u, v, pid = outs[:4]
@@ -1120,6 +1302,50 @@ def traverse_bvh8(
     if _flag_zero_edges:
         return hits, unshape(outs[4])
     return hits
+
+
+def detect_specialization(rays: Rays) -> tuple | None:
+    """Check (on device, a few scalar readbacks) whether a concrete ray
+    batch qualifies for the bit-exact kernel specializations:
+
+    * ``kz_static``: every live ray shares the same watertight shear axis
+      kz = argmax |d| (reference tie chain, nanort.h:1166-1176). True for
+      any camera whose field of view keeps |tan| < 1 on both image axes —
+      e.g. the 60-degree bench pinhole.
+    * ``shared_origin``: every live ray has the exact same origin
+      (pinhole primaries).
+
+    Degenerate rays (the kernel sanitizes them into guaranteed misses)
+    are excluded from both checks. Returns ``(kz | None, shared: bool)``
+    to pass as ``traverse_bvh8(..., specialize=...)``, or None when
+    neither property holds. Call ONCE per batch outside any timing loop:
+    each check is a full device reduction over the batch.
+    """
+    org = jnp.asarray(rays.org, jnp.float32).reshape(-1, 3)
+    d = jnp.asarray(rays.dir, jnp.float32).reshape(-1, 3)
+    BIG = jnp.float32(3.0e38)
+    ok = (
+        jnp.all(jnp.abs(org) < BIG, axis=1)
+        & jnp.all(jnp.abs(d) < BIG, axis=1)
+        & (jnp.sum(jnp.abs(d), axis=1) > 0)
+    )
+    first = jnp.argmax(ok)
+    shared = jnp.all(
+        jnp.where(ok[:, None], org == org[first][None, :], True)
+    )
+    ad = jnp.abs(d)
+    kz = jnp.where(ad[:, 1] > ad[:, 0], 1, 0)
+    amax = jnp.where(ad[:, 1] > ad[:, 0], ad[:, 1], ad[:, 0])
+    kz = jnp.where(ad[:, 2] > amax, 2, kz)
+    kz_uniform = jnp.all(jnp.where(ok, kz == kz[first], True))
+    any_ok = bool(jnp.any(ok))
+    if not any_ok:
+        return None
+    kz_val = int(kz[first]) if bool(kz_uniform) else None
+    shared_b = bool(shared)
+    if kz_val is None and not shared_b:
+        return None
+    return (kz_val, shared_b)
 
 
 def traverse_bvh8_exact(

@@ -21,16 +21,17 @@ Pipeline (``traverse_bvh8_binned``):
      aligned slots (each packet holds rays of ONE treelet; per-packet
      root rides a kernel input), traversed, and min-merged.
 
-Hit records match the global traversal exactly when ``K`` covers every
-treelet a ray can enter: passes visit entries nearest-first and a pass
-is skipped once the ray's best hit precedes its entry distance, so the
-nearest hit is never missed (same argument as the reference's two-level
-NanoSG traversal, nanosg.h:779-874). A ray that *enters* more than ``K``
-treelet AABBs only keeps its K nearest entries — a hit lying beyond the
-K-th entered box with nothing closer would be missed, so raise ``K``
-with ``n_treelets`` (rule of thumb: a line crosses O(T^(1/3)) boxes of a
-surface-hugging frontier; K=8 covered T<=128 exactly on the parity
-suite).
+Hit records match the global traversal exactly at ANY (T, K): passes
+visit entries nearest-first and a pass is skipped once the ray's best
+hit precedes its entry distance, so the nearest hit is never missed
+(same argument as the reference's two-level NanoSG traversal,
+nanosg.h:779-874). ``K`` is purely a perf knob: the dense phase counts
+each ray's true entered-treelet total, and rays whose count exceeds
+``K`` (their K-list was truncated) get a *completion sweep* over their
+remaining entries with K2 >= the true count — so the miss class that a
+truncated list could cause (a hit beyond the K-th entered box with
+nothing closer) is closed unconditionally
+(tests/test_treelet.py::test_completion_sweep_exactness).
 """
 
 from __future__ import annotations
@@ -186,12 +187,12 @@ def _treelet_klists(org, dirs, min_t, max_t, bmin, bmax, K, chunk=None):
     min_t = jnp.pad(min_t, (0, pad), constant_values=1.0)
     max_t = jnp.pad(max_t, (0, pad), constant_values=0.0)
     rs = lambda x: x.reshape((n_chunks, chunk) + x.shape[1:])
-    t_entry, tid = jax.lax.map(
+    t_entry, tid, n_ent = jax.lax.map(
         lambda a: _treelet_klists_chunk(*a, bmin, bmax, K),
         (rs(org), rs(dirs), rs(min_t), rs(max_t)),
     )
     unrs = lambda x: x.reshape((n_chunks * chunk,) + x.shape[2:])[:R]
-    return unrs(t_entry), unrs(tid)
+    return unrs(t_entry), unrs(tid), unrs(n_ent)
 
 
 def _treelet_klists_chunk(org, dirs, min_t, max_t, bmin, bmax, K):
@@ -238,7 +239,11 @@ def _treelet_klists_chunk(org, dirs, min_t, max_t, bmin, bmax, K):
         pad = K - k_eff
         t_entry = jnp.pad(t_entry, ((0, 0), (0, pad)), constant_values=big)
         tid = jnp.pad(tid, ((0, 0), (0, pad)), constant_values=T)
-    return t_entry, tid
+    # exact entered-count per ray: the K-list silently truncates rays
+    # entering more than K boxes; the caller routes those through a
+    # completion sweep (unconditional-exactness contract)
+    n_ent = jnp.sum(hit.astype(jnp.int32), axis=1)
+    return t_entry, tid, n_ent
 
 
 @functools.partial(jax.jit, static_argnames=("n_treelets", "packet", "total"))
@@ -402,6 +407,8 @@ def traverse_bvh8_binned(
     n_treelets: int = 512,  # measured optimum on the 1M-tri random bench
     K: int = 8,
     sub: int = 8,
+    _complete: bool = True,  # test hook: False disables the completion
+    # sweep (exposing the K-truncation miss class the sweep closes)
     **kw,
 ) -> Hits:
     """Incoherent-ray entry point: treelet-binned packet traversal.
@@ -437,7 +444,7 @@ def traverse_bvh8_binned(
     sorder = jnp.argsort(skeys)
     flat = jax.tree_util.tree_map(lambda x: jnp.take(x, sorder, axis=0), flat)
 
-    t_entry, tid = _treelet_klists(
+    t_entry, tid, n_ent = _treelet_klists(
         flat.org, flat.dir, flat.min_t, flat.max_t,
         jnp.asarray(treelets.bmin), jnp.asarray(treelets.bmax),
         K,
@@ -446,12 +453,16 @@ def traverse_bvh8_binned(
     pad1 = lambda x, f: jnp.concatenate(
         [x, jnp.full((1,), f, x.dtype)]
     )
-    comps = (
-        pad1(flat.org[:, 0], 0.0), pad1(flat.org[:, 1], 0.0),
-        pad1(flat.org[:, 2], 0.0), pad1(flat.dir[:, 0], 1.0),
-        pad1(flat.dir[:, 1], 0.0), pad1(flat.dir[:, 2], 0.0),
-        pad1(flat.min_t, 1.0),
-    )
+
+    def make_comps(fl):
+        return (
+            pad1(fl.org[:, 0], 0.0), pad1(fl.org[:, 1], 0.0),
+            pad1(fl.org[:, 2], 0.0), pad1(fl.dir[:, 0], 1.0),
+            pad1(fl.dir[:, 1], 0.0), pad1(fl.dir[:, 2], 0.0),
+            pad1(fl.min_t, 1.0),
+        )
+
+    comps = make_comps(flat)
     best = Hits(
         t=flat.max_t,
         u=jnp.zeros_like(flat.max_t),
@@ -460,17 +471,19 @@ def traverse_bvh8_binned(
     )
     roots_dev = jnp.asarray(treelets.roots)
 
-    for cols in (slice(0, 1), slice(1, K)):
-        td = tid[:, cols]
+    def sweep(td, te, cps, bst):
+        """One packet-aligned pair sweep over candidate (ray, treelet)
+        columns; returns the min-merged best records (or bst unchanged
+        when no pair survives the bst.t pruning)."""
         C = td.shape[1]
         if C == 0:
-            continue
+            return bst
         order, key_s, counts, n_act, n_padded = _pair_order(
-            td, t_entry[:, cols], best.t, T, C, packet
+            td, te, bst.t, T, C, packet
         )
-        n_act = int(n_act)  # one host sync per round
+        n_act = int(n_act)  # one host sync per sweep
         if n_act == 0:
-            continue
+            return bst
         # static-shape bucket over the EXACT packet-aligned slot need
         # (a worst-case T*(packet-1) pad estimate doubled the gather
         # traffic at large T)
@@ -479,7 +492,7 @@ def traverse_bvh8_binned(
         order_j = jax.lax.slice(order, (0,), (j_cap,))
         key_j = jax.lax.slice(key_s, (0,), (j_cap,))
         slot_comps, pkt_tid, slot_src = _pair_fill(
-            order_j, key_j, counts, comps, best.t, T, C, packet, n_slots
+            order_j, key_j, counts, cps, bst.t, T, C, packet, n_slots
         )
         pkt_root = jnp.where(
             pkt_tid >= 0,
@@ -496,9 +509,61 @@ def traverse_bvh8_binned(
         h = traverse_bvh8(
             scene, brays, options, sub=sub, packet_roots=pkt_root, **kw
         )
-        best = _pair_merge(best, h.t, h.u, h.v, h.prim_id, slot_src)
+        return _pair_merge(bst, h.t, h.u, h.v, h.prim_id, slot_src)
+
+    for cols in (slice(0, 1), slice(1, K)):
+        best = sweep(tid[:, cols], t_entry[:, cols], comps, best)
+
+    # ---- completion sweep: unconditional exactness at any (T, K) ----
+    # Rays that ENTERED more than K treelet boxes had their K-list
+    # truncated; a hit beyond the K-th entry could be missed. Re-list
+    # exactly those rays with K2 >= their true entered count and sweep
+    # the remaining columns, pruned by the best hits found so far.
+    max_ent = int(n_ent.max()) if (R and _complete) else 0
+    if max_ent > K:
+        ov = np.nonzero(np.asarray(n_ent > K))[0]
+        K2 = min(_next_pow2(max_ent), T)
+        R_sub = _next_pow2(max(len(ov), 1))
+        idx = np.full(R_sub, R, np.int64)
+        idx[: len(ov)] = ov
+        live = jnp.asarray(idx < R)
+        idx_c = jnp.asarray(np.minimum(idx, max(R - 1, 0)))
+        take = lambda x: jnp.take(x, idx_c, axis=0)
+        sub_flat = jax.tree_util.tree_map(take, flat)
+        # pad rows become inert rays (max_t < min_t)
+        sub_flat = sub_flat.__class__(
+            org=sub_flat.org,
+            dir=sub_flat.dir,
+            min_t=jnp.where(live, sub_flat.min_t, 1.0),
+            max_t=jnp.where(live, sub_flat.max_t, 0.0),
+        )
+        te2, td2, _ = _treelet_klists(
+            sub_flat.org, sub_flat.dir, sub_flat.min_t, sub_flat.max_t,
+            jnp.asarray(treelets.bmin), jnp.asarray(treelets.bmax),
+            K2,
+        )
+        td2 = jnp.where(live[:, None], td2, T)
+        sub_best = jax.tree_util.tree_map(take, best)
+        sub_best = sweep(
+            td2[:, K:], te2[:, K:], make_comps(sub_flat), sub_best
+        )
+        scatter_idx = jnp.asarray(idx)  # pad rows (== R) drop in scatter
+        best = jax.tree_util.tree_map(
+            lambda full, s: full.at[scatter_idx].set(
+                s, mode="drop"
+            ),
+            best,
+            sub_best,
+        )
 
     # unsort back to caller order
     inv = jnp.argsort(sorder)
     unsort = lambda x: jnp.take(x, inv, axis=0).reshape(bs + x.shape[1:])
     return jax.tree_util.tree_map(unsort, best)
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p

@@ -26,8 +26,9 @@ def save_ppm(path: str, img: np.ndarray, gamma: float = 2.2) -> None:
         f.write(u8.tobytes())
 
 
-def save_png(path: str, img: np.ndarray, gamma: float = 2.2) -> None:
-    """Minimal RGB(A) PNG writer (8-bit, no interlace)."""
+def encode_png(img: np.ndarray, gamma: float = 2.2) -> bytes:
+    """Minimal RGB(A) PNG encoder (8-bit, no interlace) returning bytes
+    (the live HTTP viewer serves these directly)."""
     u8 = to_u8(img, gamma)
     if u8.ndim == 2:
         u8 = u8[..., None].repeat(3, -1)
@@ -44,8 +45,15 @@ def save_png(path: str, img: np.ndarray, gamma: float = 2.2) -> None:
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     raw = b"".join(b"\x00" + u8[r].tobytes() for r in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def save_png(path: str, img: np.ndarray, gamma: float = 2.2) -> None:
+    """Minimal RGB(A) PNG writer (8-bit, no interlace)."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", ihdr))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(encode_png(img, gamma))

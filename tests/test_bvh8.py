@@ -172,3 +172,138 @@ def test_woop_degenerate_triangle_never_hits():
     # degenerate triangle gets the zero matrix: d'z == 0 for every ray,
     # t = -o'z/d'z is inf/NaN and the unit-triangle test can never pass
     np.testing.assert_array_equal(M, 0.0)
+
+
+# ---- 16-wide collapse (collapse_bvh16: 2 rows per node) ----
+
+def _walk16(nodes, root=0):
+    """Yield (node_id, child_box_lo, child_box_hi, meta, cnt) over the
+    16-wide tree; meta >= 0 is a child node id, < 0 a leaf row."""
+    stack = [root]
+    while stack:
+        nid = stack.pop()
+        blk = nodes[2 * nid: 2 * nid + 2]
+        for w in range(16):
+            r, c = divmod(w, 8)
+            lo = blk[r, 8 * c: 8 * c + 3]
+            if lo[0] >= 3.0e38:
+                continue
+            hi = blk[r, 8 * c + 3: 8 * c + 6]
+            meta = int(blk[r, 64 + c])
+            cnt = int(blk[r, 72 + c])
+            yield nid, lo, hi, meta, cnt
+            if meta >= 0:
+                stack.append(meta)
+
+
+def test_collapse16_covers_all_prims_and_bounds():
+    from nanort_tpu.build.bvh8 import collapse_bvh16
+
+    v, f = make_uv_sphere(16, 32)
+    mesh = TriangleMesh(vertices=v, faces=f)
+    opts = BVHBuildOptions(min_leaf_primitives=9, max_leaf_primitives=9)
+    bvh, _ = build_triangle_bvh(mesh, opts)
+    s16 = collapse_bvh16(bvh, v, f)
+    assert s16.width == 16
+    assert s16.nodes.shape[0] == (s16.num_nodes + 1) * 2
+
+    pids = []
+    for nid, lo, hi, meta, cnt in _walk16(s16.nodes):
+        if meta < 0:
+            row = s16.leafs[-meta - 1]
+            for t in range(cnt):
+                pids.append(int(row[90 + t]))
+                # leaf triangle vertices inside the child box (eps pad)
+                tri = row[9 * t: 9 * t + 9].reshape(3, 3)
+                assert (tri.min(0) >= lo - 1e-4).all()
+                assert (tri.max(0) <= hi + 1e-4).all()
+    assert sorted(pids) == list(range(len(f)))
+
+    # internal child boxes contain their node's own children
+    boxes = {}  # node id -> (lo, hi) as promised by the parent
+    for nid, lo, hi, meta, cnt in _walk16(s16.nodes):
+        if meta >= 0:
+            boxes[meta] = (lo.copy(), hi.copy())
+    for nid, (plo, phi) in boxes.items():
+        for _, lo, hi, _, _ in _walk16(s16.nodes, nid):
+            break  # only direct children needed; _walk16 recurses, so:
+        blk = s16.nodes[2 * nid: 2 * nid + 2]
+        for w in range(16):
+            r, c = divmod(w, 8)
+            if blk[r, 8 * c] >= 3.0e38:
+                continue
+            assert (blk[r, 8 * c: 8 * c + 3] >= plo - 1e-4).all()
+            assert (blk[r, 8 * c + 3: 8 * c + 6] <= phi + 1e-4).all()
+
+
+def test_collapse16_traversal_matches_brute_force():
+    import jax.numpy as jnp
+
+    from nanort_tpu import brute_force_traverse, make_rays
+    from nanort_tpu.build.bvh8 import collapse_bvh16
+
+    v, f = make_uv_sphere(16, 32)
+    mesh = TriangleMesh(vertices=v, faces=f)
+    opts = BVHBuildOptions(min_leaf_primitives=9, max_leaf_primitives=9)
+    bvh, _ = build_triangle_bvh(mesh, opts)
+    s16 = collapse_bvh16(bvh, v, f)
+
+    rng = np.random.default_rng(9)
+    n = 200
+    org = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    tgt = rng.uniform(-0.8, 0.8, (n, 3))
+    d = tgt - org
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    want = brute_force_traverse(
+        mesh, make_rays(jnp.asarray(org), jnp.asarray(d))
+    )
+    want_pid = np.asarray(want.prim_id)
+    want_t = np.asarray(want.t)
+
+    nodes, leafs = s16.nodes, s16.leafs
+    for i in range(n):
+        best_t, best_p = np.float64(np.finfo(np.float32).max), -1
+        stack = [0]
+        inv = np.where(np.abs(d[i]) < 1e-30, np.inf, 1.0 / d[i])
+        while stack:
+            nid = stack.pop()
+            blk = nodes[2 * nid: 2 * nid + 2]
+            for w in range(16):
+                r, c = divmod(w, 8)
+                if blk[r, 8 * c] >= 3.0e38:
+                    continue
+                lo = blk[r, 8 * c: 8 * c + 3]
+                hi = blk[r, 8 * c + 3: 8 * c + 6]
+                t0 = (np.where(inv < 0, hi, lo) - org[i]) * inv
+                t1 = (np.where(inv < 0, lo, hi) - org[i]) * inv
+                tmin = max(0.0, np.nanmax(t0))
+                tmax = min(best_t, np.nanmin(t1) * 1.00000024)
+                if tmin > tmax:
+                    continue
+                meta = int(blk[r, 64 + c])
+                if meta >= 0:
+                    stack.append(meta)
+                    continue
+                row = leafs[-meta - 1]
+                for ti in range(int(blk[r, 72 + c])):
+                    p0 = row[9 * ti: 9 * ti + 3].astype(np.float64)
+                    p1 = row[9 * ti + 3: 9 * ti + 6].astype(np.float64)
+                    p2 = row[9 * ti + 6: 9 * ti + 9].astype(np.float64)
+                    e1, e2 = p1 - p0, p2 - p0
+                    pv = np.cross(d[i].astype(np.float64), e2)
+                    det = np.dot(e1, pv)
+                    if abs(det) < 1e-30:
+                        continue
+                    tv = org[i].astype(np.float64) - p0
+                    u = np.dot(tv, pv) / det
+                    qv = np.cross(tv, e1)
+                    vv = np.dot(d[i].astype(np.float64), qv) / det
+                    t = np.dot(e2, qv) / det
+                    if u < 0 or vv < 0 or u + vv > 1 or t < 0 or t > best_t:
+                        continue
+                    best_t, best_p = t, int(row[90 + ti])
+        if want_pid[i] == 0xFFFFFFFF:
+            assert best_p == -1, i
+        else:
+            assert best_p != -1, i
+            assert abs(best_t - want_t[i]) < 1e-3 * max(1.0, want_t[i]), i

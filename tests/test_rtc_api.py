@@ -149,3 +149,62 @@ def test_fast_tables_bake_transforms():
     lo = v.min(axis=0) + off - 1e-4
     hi = v.max(axis=0) + off + 1e-4
     assert np.all((tri[live] >= lo) & (tri[live] <= hi))
+
+
+def test_fast_intersect_remaps_geom_and_local_prim(monkeypatch):
+    """The packet-kernel closest-hit path (commit(fast=True)) must return
+    the same (geom id, LOCAL prim id, t, normals) as the scene-graph walk
+    (reference rtcIntersect fills geomID/primID, nanort-embree.cc:515-554).
+    The Pallas kernel is stubbed with the numpy BVH8 walker on CPU."""
+    from test_treelet import _fake_traverse_bvh8
+
+    from nanort_tpu.traverse import pallas_packet as _pp
+
+    monkeypatch.setattr(_pp, "traverse_bvh8", _fake_traverse_bvh8)
+
+    from nanort_tpu.io.procedural import make_uv_sphere
+
+    device = new_device()
+    scene = device.new_scene()
+    # geom 0: two triangles at z=-5; geom 1: sphere in front
+    v0 = np.array(
+        [[-2, -2, -5], [2, -2, -5], [0, 2, -5], [3, 3, -5]], np.float32
+    )
+    f0 = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+    g0 = scene.new_triangle_mesh(len(f0), len(v0))
+    scene.map_buffer(g0, BufferType.VERTEX)[:] = v0
+    scene.map_buffer(g0, BufferType.INDEX)[:] = f0
+    v1, f1 = make_uv_sphere(8, 16, 0.8)
+    g1 = scene.new_triangle_mesh(len(f1), len(v1))
+    scene.map_buffer(g1, BufferType.VERTEX)[:] = v1
+    scene.map_buffer(g1, BufferType.INDEX)[:] = f1
+    scene.commit(fast=True)
+    assert scene._scene8 is not None and scene._flat_pack is not None
+
+    rng = np.random.default_rng(12)
+    org = (rng.uniform(-1.5, 1.5, (32, 3)) * [1, 1, 0]).astype(np.float32)
+    org[:, 2] = 3.0
+    d = np.zeros((32, 3), np.float32)
+    d[:, 2] = -1.0
+    rays = make_rays(org, d)
+
+    fast = scene.intersect(rays)
+    slow = scene._sg.traverse(rays)
+    # slow path's node ids are instance indices == geom ids here
+    fh = np.asarray(fast.hit)
+    sh = np.asarray(slow.hit)
+    assert (fh == sh).all()
+    assert fh.any() and (~fh).any()  # both classes exercised
+    m = fh
+    assert (np.asarray(fast.node_id)[m] == np.asarray(slow.node_id)[m]).all()
+    assert (np.asarray(fast.prim_id)[m] == np.asarray(slow.prim_id)[m]).all()
+    np.testing.assert_allclose(
+        np.asarray(fast.t)[m], np.asarray(slow.t)[m], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.normal_g)[m], np.asarray(slow.normal_g)[m],
+        rtol=1e-4, atol=1e-5,
+    )
+    # local prim ids must stay in range for the sphere geometry
+    sphere = np.asarray(fast.node_id)[m] == g1
+    assert (np.asarray(fast.prim_id)[m][sphere] < len(f1)).all()

@@ -72,3 +72,76 @@ def test_chunking_validation():
     sharded = build_scene_chunks(mesh, 4)
     with pytest.raises(ValueError):
         sharded_scene_traverse(sharded, _random_rays(64, 1), ray_mesh(8))
+
+
+def test_packet_chunk_tables_and_sequential_traverse(monkeypatch):
+    """build_scene_chunks(packet=True) bakes GLOBAL prim ids into the
+    per-chunk BVH8 leaf lanes, and sequential_chunk_traverse (the
+    single-chip proof of the ring's packet layout, VERDICT r2 #6)
+    reproduces the single-BVH result. The Pallas kernel is stubbed with
+    the numpy BVH8 walker on CPU."""
+    import jax.numpy as jnp
+    from test_treelet import _fake_traverse_bvh8
+
+    from nanort_tpu import (
+        BVHBuildOptions,
+        TriangleMesh,
+        brute_force_traverse,
+        build_triangle_bvh,
+        make_rays,
+    )
+    from nanort_tpu.io.procedural import make_uv_sphere
+    from nanort_tpu.parallel.sharded_scene import (
+        build_scene_chunks,
+        sequential_chunk_traverse,
+    )
+    from nanort_tpu.traverse import pallas_packet as _pp
+
+    monkeypatch.setattr(_pp, "traverse_bvh8", _fake_traverse_bvh8)
+
+    v, f = make_uv_sphere(16, 32, 1.0)
+    mesh = TriangleMesh(vertices=jnp.asarray(v), faces=jnp.asarray(f))
+    opts = BVHBuildOptions(min_leaf_primitives=8, max_leaf_primitives=8)
+    sc = build_scene_chunks(mesh, 4, opts, packet=True)
+    assert sc.nodes8 is not None and sc.nodes8.shape[0] == 4
+    assert sc.leafs8 is not None
+
+    # every global prim id appears exactly once across all chunk leafs
+    pids = []
+    for c in range(4):
+        nodes = sc.nodes8[c]
+        stack = [0]
+        while stack:
+            nid = stack.pop()
+            row = nodes[nid]
+            for cc in range(8):
+                if row[8 * cc] >= 3.0e38:
+                    continue
+                meta = int(row[64 + cc])
+                if meta >= 0:
+                    stack.append(meta)
+                else:
+                    lrow = sc.leafs8[c, -meta - 1]
+                    for t in range(int(row[72 + cc])):
+                        pids.append(int(lrow[90 + t]))
+    assert sorted(pids) == list(range(len(f)))
+
+    rng = np.random.default_rng(5)
+    org = rng.uniform(-3, 3, (64, 3)).astype(np.float32)
+    tgt = rng.uniform(-0.7, 0.7, (64, 3))
+    d = tgt - org
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    rays = make_rays(org, d)
+    got = sequential_chunk_traverse(sc, rays)
+    want = brute_force_traverse(mesh, rays)
+    gp = np.asarray(got.prim_id)
+    wp = np.asarray(want.prim_id)
+    gh = gp != 0xFFFFFFFF
+    wh = wp != 0xFFFFFFFF
+    assert (gh == wh).all() and gh.any()
+    same = gp[gh] == wp[gh]
+    # equal-t ties may legally differ; t must match everywhere
+    np.testing.assert_allclose(
+        np.asarray(got.t)[gh], np.asarray(want.t)[gh], rtol=1e-4
+    )
+    assert same.mean() > 0.97

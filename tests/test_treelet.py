@@ -105,7 +105,7 @@ def test_klists_match_numpy_oracle():
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     min_t = np.zeros(R, np.float32)
     max_t = np.full(R, 1e30, np.float32)
-    t_entry, tid = _treelet_klists(
+    t_entry, tid, _ = _treelet_klists(
         jnp.asarray(org), jnp.asarray(d), jnp.asarray(min_t),
         jnp.asarray(max_t), jnp.asarray(tl.bmin), jnp.asarray(tl.bmax),
         K, chunk=256,
@@ -265,3 +265,157 @@ def test_pair_sweep_machinery():
         assert out.u[r] == slot_u[w]
         assert out.v[r] == slot_v[w]
         assert out.prim_id[r] == slot_pid[w]
+
+
+# ---- completion-sweep exactness (unconditional at any (T, K)) ----
+
+def _np_bvh8_traverse(nodes, leafs, org, d, min_t, max_t, root):
+    """Numpy reference BVH8 traversal from a given root row (the CPU
+    stand-in for the Pallas kernel in binning tests; plain f64
+    Moller-Trumbore leaf test)."""
+    best = (np.float64(max_t), 0.0, 0.0, np.uint32(0xFFFFFFFF))
+    stack = [int(root)]
+    inv = np.where(np.abs(d) < 1e-30, np.inf * np.sign(d + 1e-300), 1.0 / d)
+    while stack:
+        nid = stack.pop()
+        row = nodes[nid]
+        for c in range(8):
+            if row[8 * c] >= EMPTY_BIG:
+                continue
+            lo, hi = row[8 * c: 8 * c + 3], row[8 * c + 3: 8 * c + 6]
+            t0 = (np.where(inv < 0, hi, lo) - org) * inv
+            t1 = (np.where(inv < 0, lo, hi) - org) * inv
+            tmin = max(min_t, np.max(np.where(np.isnan(t0), -np.inf, t0)))
+            tmax = min(best[0], np.min(np.where(np.isnan(t1), np.inf, t1)) * 1.00000024)
+            if tmin > tmax:
+                continue
+            meta = int(row[64 + c])
+            if meta >= 0:
+                stack.append(meta)
+                continue
+            lrow = leafs[-meta - 1]
+            for ti in range(int(row[72 + c])):
+                p0 = lrow[9 * ti: 9 * ti + 3].astype(np.float64)
+                p1 = lrow[9 * ti + 3: 9 * ti + 6].astype(np.float64)
+                p2 = lrow[9 * ti + 6: 9 * ti + 9].astype(np.float64)
+                e1, e2 = p1 - p0, p2 - p0
+                pv = np.cross(d, e2)
+                det = np.dot(e1, pv)
+                if abs(det) < 1e-30:
+                    continue
+                tv = org - p0
+                u = np.dot(tv, pv) / det
+                qv = np.cross(tv, e1)
+                v = np.dot(d, qv) / det
+                t = np.dot(e2, qv) / det
+                if u < 0 or v < 0 or u + v > 1 or t < min_t or t > best[0]:
+                    continue
+                best = (t, u, v, np.uint32(lrow[90 + ti]))
+    return best
+
+
+def _fake_traverse_bvh8(scene, rays, options=None, sub=8, packet_roots=None,
+                        **kw):
+    from nanort_tpu.core.ray import Hits
+
+    nodes = np.asarray(scene.nodes)
+    leafs = np.asarray(scene.leafs)
+    org = np.asarray(rays.org)
+    d = np.asarray(rays.dir)
+    mint = np.asarray(rays.min_t)
+    maxt = np.asarray(rays.max_t)
+    packet = sub * 128
+    roots = np.asarray(packet_roots) if packet_roots is not None else None
+    R = org.shape[0]
+    t = np.empty(R, np.float32)
+    u = np.empty(R, np.float32)
+    v = np.empty(R, np.float32)
+    pid = np.empty(R, np.uint32)
+    for i in range(R):
+        root = int(roots[i // packet]) if roots is not None else 0
+        if maxt[i] < mint[i]:
+            t[i], u[i], v[i], pid[i] = maxt[i], 0, 0, 0xFFFFFFFF
+            continue
+        bt, bu, bv, bp = _np_bvh8_traverse(
+            nodes, leafs, org[i], d[i], mint[i], maxt[i], root
+        )
+        t[i], u[i], v[i], pid[i] = bt, bu, bv, bp
+    return Hits(t=jnp.asarray(t), u=jnp.asarray(u), v=jnp.asarray(v),
+                prim_id=jnp.asarray(pid))
+
+
+def _make_corridor(n=12):
+    """n clusters along z; all but the last hold only corner triangles
+    (their AABBs span the corridor at x=y=0 but the geometry misses an
+    axial ray), the last holds a big triangle covering the axis."""
+    vs, fs = [], []
+    for i in range(n):
+        z = float(i)
+        if i < n - 1:
+            for sx, sy in ((0.9, 0.9), (-0.95, -0.95)):
+                a = len(vs)
+                vs += [[sx, sy, z], [sx + 0.05, sy, z], [sx, sy + 0.05, z]]
+                fs.append([a, a + 1, a + 2])
+        else:
+            a = len(vs)
+            vs += [[-1.0, -1.0, z], [1.0, -1.0, z], [0.0, 1.0, z]]
+            fs.append([a, a + 1, a + 2])
+    return np.asarray(vs, np.float32), np.asarray(fs, np.int32)
+
+
+def test_completion_sweep_exactness(monkeypatch):
+    """A ray entering more treelet AABBs than K keeps its nearest hit:
+    the K-list truncation miss class is closed by the completion sweep
+    (VERDICT r2 item 3: exactness unconditional at any (T, K))."""
+    from nanort_tpu.core.ray import make_rays
+    from nanort_tpu.traverse import treelet as tl_mod
+
+    v, f = _make_corridor(12)
+    mesh = TriangleMesh(vertices=v, faces=f)
+    bvh, _ = build_triangle_bvh(
+        mesh, BVHBuildOptions(min_leaf_primitives=2, max_leaf_primitives=2)
+    )
+    s8 = collapse_bvh8(bvh, v, f)
+    tl, s8aug = make_treelets(s8, 16)
+
+    from nanort_tpu.traverse import pallas_packet as _pp
+
+    monkeypatch.setattr(_pp, "traverse_bvh8", _fake_traverse_bvh8)
+
+    # the axial ray + a few randoms (some hit corner tris)
+    rng = np.random.default_rng(3)
+    org = np.concatenate(
+        [[[0.0, 0.0, -1.0]],
+         rng.uniform(-1, 1, (15, 3)) * [1, 1, 0] + [0, 0, -1]]
+    ).astype(np.float32)
+    d = np.tile(np.asarray([[0.0, 0.0, 1.0]], np.float32), (16, 1))
+    rays = make_rays(org, d)
+
+    # the dense phase must actually see the overflow for the test to bite
+    te, ti, n_ent = tl_mod._treelet_klists(
+        jnp.asarray(org), jnp.asarray(d), rays.min_t, rays.max_t,
+        jnp.asarray(tl.bmin), jnp.asarray(tl.bmax), 2,
+    )
+    assert int(np.asarray(n_ent)[0]) > 2
+
+    # without the completion sweep the axial ray's hit (in the FARTHEST
+    # cluster) is silently missed at K=2 — the bug class being closed
+    h_trunc = tl_mod.traverse_bvh8_binned(
+        s8aug, rays, treelets=tl, K=2, _complete=False
+    )
+    assert int(np.asarray(h_trunc.prim_id)[0]) == 0xFFFFFFFF
+
+    h = tl_mod.traverse_bvh8_binned(s8aug, rays, treelets=tl, K=2)
+    want = [
+        _np_bvh8_traverse(
+            np.asarray(s8aug.nodes), np.asarray(s8aug.leafs),
+            org[i], d[i], 0.0, np.finfo(np.float32).max, 0,
+        )
+        for i in range(16)
+    ]
+    got_pid = np.asarray(h.prim_id)
+    got_t = np.asarray(h.t)
+    for i in range(16):
+        assert got_pid[i] == want[i][3], i
+        if want[i][3] != 0xFFFFFFFF:
+            assert abs(got_t[i] - want[i][0]) < 1e-4, i
