@@ -91,7 +91,7 @@ def main():
     n_rays = res * res
 
     if path == "pallas":
-        from nanort_tpu.build.bvh8 import build_woop_leafs, collapse_bvh8
+        from nanort_tpu.build.bvh8 import collapse_bvh8
         from nanort_tpu.traverse.pallas_packet import (
             detect_specialization,
             refit_hits_watertight,
@@ -104,13 +104,13 @@ def main():
         # (docstring above). "turbo_refit" restores bit-exact per-prim
         # records via an XLA re-intersection pass.
         engine = os.environ.get("NANORT_BENCH_ENGINE", "watertight")
-        s8 = collapse_bvh8(bvh, v, f)
+        s8 = collapse_bvh8(bvh, v, f, woop=engine.startswith("turbo"))
         s8 = s8._replace(
             nodes=jax.device_put(jnp.asarray(s8.nodes)),
             leafs=jax.device_put(jnp.asarray(s8.leafs)),
             leafs_woop=(
-                jax.device_put(jnp.asarray(build_woop_leafs(bvh, v, f)))
-                if engine.startswith("turbo") else None
+                jax.device_put(jnp.asarray(s8.leafs_woop))
+                if s8.leafs_woop is not None else None
             ),
         )
         tile_h = int(os.environ.get("NANORT_BENCH_TILE_H", 128))  # 128x64 pixel tiles: best measured packet footprint

@@ -59,6 +59,7 @@ def main():
     from nanort_tpu.models.cameras import look_at, pinhole_rays
     from nanort_tpu.ops.triangle import TriangleMesh
     from nanort_tpu.traverse.pallas_packet import (
+        detect_specialization,
         tile_image_rays,
         traverse_bvh8,
     )
@@ -74,21 +75,21 @@ def main():
         bvh, _ = build_triangle_bvh(mesh, opt8)
         build_s = time.perf_counter() - t0
         emit("sah_build_1mtri", len(f) / build_s / 1e6, "Mtris/s")
-        from nanort_tpu.build.bvh8 import build_woop_leafs
-
-        s8 = collapse_bvh8(bvh, v, f)
+        s8 = collapse_bvh8(bvh, v, f, woop=True)
         s8 = s8._replace(
             nodes=jax.device_put(jnp.asarray(s8.nodes)),
             leafs=jax.device_put(jnp.asarray(s8.leafs)),
-            leafs_woop=jax.device_put(
-                jnp.asarray(build_woop_leafs(bvh, v, f))
-            ),
+            leafs_woop=jax.device_put(jnp.asarray(s8.leafs_woop)),
         )
         cam = look_at(eye=(0, 0, 2.2), center=(0, 0, 0),
                       width=res, height=res, fov=60.0)
         rays_t, _ = tile_image_rays(pinhole_rays(cam), 128, 64)
-        for engine, kw in (("turbo", dict(intersector="woop")),
-                           ("watertight", {})):
+        spec = detect_specialization(rays_t)
+        for engine, kw in (
+            ("turbo", dict(intersector="woop",
+                           specialize=(None, spec[1]) if spec else None)),
+            ("watertight", dict(specialize=spec)),
+        ):
             h = traverse_bvh8(s8, rays_t, **kw)
             float(h.t.min())
             ts = []
@@ -118,9 +119,12 @@ def main():
         key = jax.random.PRNGKey(7)
         n_samples = 8
 
+        spec_a = detect_specialization(rays)
+
         def run_a():
             aovs, hits = render_ao(bvh, mesh, rays, key,
-                                   n_samples=n_samples, scene8=s8)
+                                   n_samples=n_samples, max_leaf=8,
+                                   scene8=s8, specialize=spec_a)
             return readback(aovs["ao"].min()), hits
 
         t0 = time.perf_counter()
@@ -224,12 +228,13 @@ def main():
         cam = look_at(eye=(0, 0, 2.2), center=(0, 0, 0),
                       width=res, height=res, fov=60.0)
         rays_t, _ = tile_image_rays(pinhole_rays(cam), min(128, res), 64)
-        h = traverse_bvh8(s8, rays_t)  # scene_space auto -> hbm
+        spec_t = detect_specialization(rays_t)
+        h = traverse_bvh8(s8, rays_t, specialize=spec_t)  # auto -> hbm_leafs
         float(h.t.min())
         ts = []
         for _ in range(2):
             t0 = time.perf_counter()
-            h = traverse_bvh8(s8, rays_t)
+            h = traverse_bvh8(s8, rays_t, specialize=spec_t)
             float(h.t.min())
             ts.append(time.perf_counter() - t0)
         emit("coherent_primary_mrays_per_s_10mtri", res * res / min(ts) / 1e6,

@@ -142,7 +142,98 @@ def _fill_leaf_rows(rows, offsets, counts, vals, stride, lane0,
             )
 
 
-def collapse_bvh8(bvh: BVH, vertices, faces, width: int = 8) -> BVH8Scene:
+def _fill_leaf_segments(rows, seg_row, seg_slot, seg_len, seg_src, vals,
+                        stride, lane0, pid_lane, pid_vals):
+    """Scatter destination segments (row, slot0, len, src-tri-offset)
+    into packed leaf rows. Grouped by segment length (<= 10 groups);
+    flat gathers/scatters only — no index-product materialization over
+    the whole stream (that alone cost ~8 s at 2M tris on this vCPU).
+    ``seg_src`` indexes the leaf-ordered triangle stream directly (the
+    reference's index-array offsets, nanort.h data[1]), so no stream
+    contiguity is assumed."""
+    flat = vals.reshape(-1)
+    rflat = rows.reshape(-1)
+    for c in np.unique(seg_len) if seg_len.size else []:
+        c = int(c)
+        if c == 0:
+            continue
+        sel = np.nonzero(seg_len == c)[0]
+        src0 = seg_src[sel]
+        base = seg_row[sel] * 128 + lane0 + stride * seg_slot[sel]
+        span = np.arange(stride * c, dtype=np.int64)
+        src = flat[(src0[:, None] * stride + span).reshape(-1)]
+        rflat[(base[:, None] + span).reshape(-1)] = src
+        spanc = np.arange(c, dtype=np.int64)
+        pbase = seg_row[sel] * 128 + pid_lane + seg_slot[sel]
+        rflat[(pbase[:, None] + spanc).reshape(-1)] = pid_vals[
+            (src0[:, None] + spanc).reshape(-1)
+        ]
+
+
+def _woop_transforms_from(vertices, faces, indices) -> np.ndarray:
+    """Per-triangle Woop unit-triangle transforms for the leaf-ordered
+    stream ``indices``: (L, 12) f32 rows of [M row-major | anchor p0]
+    (see ``build_woop_leafs`` for the math and conditioning notes).
+    Chunked with manual cross products: whole-array np.cross/np.stack
+    allocate ~350 MB of f64 temporaries and first-touch page faults on
+    this vCPU cost ~25 s / 2M tris."""
+    vertices = np.asarray(vertices, np.float64)
+    faces = np.asarray(faces)
+    L = indices.shape[0]
+    flat = np.empty((L, 12), np.float32)
+    CHUNK = 1 << 18
+    for a in range(0, L, CHUNK):
+        b = min(a + CHUNK, L)
+        tri = vertices[faces[indices[a:b]]]  # (c, 3, 3) f64
+        p0 = tri[:, 0]
+        e1 = tri[:, 1] - p0
+        e2 = tri[:, 2] - p0
+
+        def cross(x, y):
+            return (
+                x[:, 1] * y[:, 2] - x[:, 2] * y[:, 1],
+                x[:, 2] * y[:, 0] - x[:, 0] * y[:, 2],
+                x[:, 0] * y[:, 1] - x[:, 1] * y[:, 0],
+            )
+
+        nx, ny, nz = cross(e1, e2)
+        det = nx * nx + ny * ny + nz * nz
+        ok = det > 0.0
+        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+        n3 = np.stack([nx, ny, nz], axis=1)
+        r0 = cross(e2, n3)
+        r1 = cross(n3, e1)
+        for k in range(3):
+            flat[a:b, k] = r0[k] * inv
+            flat[a:b, 3 + k] = r1[k] * inv
+            flat[a:b, 6 + k] = n3[:, k] * inv
+            flat[a:b, 9 + k] = p0[:, k]
+    return flat
+
+
+def collapse_bvh8(
+    bvh: BVH,
+    vertices,
+    faces,
+    width: int = 8,
+    merge_leafs: bool = True,
+    woop: bool = False,
+) -> BVH8Scene:
+    """Collapse the binary BVH into width-wide packet-kernel tables.
+
+    ``merge_leafs`` (default): adjacent small sibling leaves inside each
+    node's cut are bin-packed into shared leaf rows (respecting the
+    near-first child order). Binary SAH splitting leaves rows ~70% full
+    on average (a range of 10 splits 5+5, not 9+1), so merging cuts both
+    leaf-row count (~drain steps) and node count (~VMEM footprint: the
+    10M-tri scene's nodes shrink from 260 MB — forced all-HBM mode — to
+    under the VMEM budget) at the cost of nothing but equal-t tie order,
+    which is unordered across engines anyway (CLAUDE.md invariants).
+
+    ``woop=True`` also bakes the Woop unit-triangle table with the SAME
+    row layout (merged rows make standalone ``build_woop_leafs``
+    mismatched — it stays valid only for ``merge_leafs=False`` scenes).
+    """
     if width not in (8, 16):
         raise ValueError(f"width must be 8 or 16: {width}")
     W = width
@@ -155,7 +246,6 @@ def collapse_bvh8(bvh: BVH, vertices, faces, width: int = 8) -> BVH8Scene:
     data = np.asarray(bvh.data).astype(np.int64)
     indices = np.asarray(bvh.indices).astype(np.int64)
 
-    # ---- leaf table: one row per binary leaf ----
     if indices.shape[0] > (1 << 24):
         raise ValueError("BVH8 float-int lanes are exact to 2^24 prims")
     leaf_ids = np.nonzero(flag == 1)[0]
@@ -166,16 +256,10 @@ def collapse_bvh8(bvh: BVH, vertices, faces, width: int = 8) -> BVH8Scene:
             f"packing (got {counts.max()}); build with "
             f"max_leaf_primitives<={MAX_LEAF_TRIS}"
         )
-    leaf_row_of = np.full(flag.shape[0], -1, np.int64)
-    leaf_row_of[leaf_ids] = np.arange(leaf_ids.shape[0])
-    m = leaf_ids.shape[0]
-    leafs = np.zeros((max(m, 1), 128), np.float32)
-    tri_all = vertices[faces[indices]].reshape(-1, 9)  # leaf-ordered
-    pid_all = indices.astype(np.int32).astype(np.float32)
-    _fill_leaf_rows(
-        leafs, data[leaf_ids, 1], counts, tri_all, 9, 0,
-        pid_vals=pid_all, pid_lane=90,
-    )
+    cap = int(counts.max(initial=1)) if merge_leafs else 0
+    if woop and cap > 9:
+        raise ValueError("woop rows hold <= 9 tris; build with "
+                         "max_leaf_primitives <= 9")
 
     # ---- node collapse (vectorized, level-synchronous BFS) ----
     # The serial preorder emitter cost ~300 s of host Python at 10M tris;
@@ -228,22 +312,37 @@ def collapse_bvh8(bvh: BVH, vertices, faces, width: int = 8) -> BVH8Scene:
         nodes3 = empty_rows((2, NR, 128))
         nodes3[0, 0, 0:3] = bmin[0]
         nodes3[0, 0, 3:6] = bmax[0]
-        nodes3[0, 0, 64] = np.float32(-(leaf_row_of[0] + 1))
+        nodes3[0, 0, 64] = np.float32(-1.0)  # leaf row 0
         nodes3[0, 0, 72] = np.float32(data[0, 0])
         nodes = nodes3.reshape(-1, 128)
+        seg_rows_l = [np.zeros(1, np.int64)]
+        seg_slot_l = [np.zeros(1, np.int64)]
+        seg_len_l = [np.asarray([data[0, 0]], np.int64)]
+        seg_src_l = [np.asarray([data[0, 1]], np.int64)]
+        seg_leaf_l = [np.zeros(1, np.int64)]
+        m_rows = 1
         total = 1
         max_depth = 0
+        max_leaf_out = int(data[0, 0])
     else:
         level_rows: list[np.ndarray] = []
         level_meta: list[np.ndarray] = []  # (n, W) int64 node-id metas
         level_isint: list[np.ndarray] = []
+        # per-binary-leaf destination segments (a leaf's triangles may
+        # split across two packed rows): row, slot0, len, src offset
+        seg_rows_l, seg_slot_l, seg_len_l, seg_src_l, seg_leaf_l = (
+            [], [], [], [], []
+        )
         frontier = np.zeros(1, np.int64)  # binary roots of this level
         node_base = 0
+        leaf_row_base = 0
         max_depth = 0
+        max_leaf_out = 1
+        rngW = np.arange(W)[None, :]
         while frontier.size:
             n = frontier.shape[0]
             ids, cnt = cut8_batch(frontier)
-            valid = np.arange(W)[None, :] < cnt[:, None]
+            valid = rngW < cnt[:, None]
             child_leaf = valid & (flag[ids] == 1)
             child_int = valid & ~child_leaf
 
@@ -253,8 +352,8 @@ def collapse_bvh8(bvh: BVH, vertices, faces, width: int = 8) -> BVH8Scene:
             c_hi = np.where(valid[..., None], cent, -np.inf).max(axis=1)
             axis = np.argmax(c_hi - c_lo, axis=1)  # (n,)
             key = np.where(
-                valid, cent[np.arange(n)[:, None], np.arange(W)[None, :],
-                            axis[:, None]], np.inf
+                valid, cent[np.arange(n)[:, None], rngW, axis[:, None]],
+                np.inf,
             )
             order = np.argsort(key, axis=1, kind="stable")
             take = np.arange(n)[:, None]
@@ -263,17 +362,123 @@ def collapse_bvh8(bvh: BVH, vertices, faces, width: int = 8) -> BVH8Scene:
             child_leaf = child_leaf[take, order]
             child_int = child_int[take, order]
 
+            # ---- leaf repacking: pool ADJACENT (near-first order) leaf
+            # children into rows filled to ``cap`` triangles, splitting
+            # a leaf's triangles across two rows when needed. Binary SAH
+            # leaves average ~0.7*cap, so row-per-leaf wastes ~30% of
+            # every drain step; triangle-level packing recovers it. ----
+            lcnt = np.where(child_leaf, data[ids.clip(0), 0], 0)
+            grp_start = np.zeros((n, W), bool)
+            part_prev = np.zeros((n, W), np.int64)  # tris joining the
+            part_rem = np.zeros((n, W), np.int64)   # open row / new row
+            prev_run = np.zeros((n, W), np.int64)   # slot0 of the join
+            run = np.zeros(n, np.int64)
+            for w in range(W):
+                isl = child_leaf[:, w]
+                c = lcnt[:, w]
+                if merge_leafs:
+                    space = cap - run
+                    join = isl & (run > 0) & (space > 0)
+                    pp = np.where(join, np.minimum(c, space), 0)
+                else:
+                    pp = np.zeros(n, np.int64)
+                rem = np.where(isl, c - pp, 0)
+                part_prev[:, w] = pp
+                prev_run[:, w] = run
+                part_rem[:, w] = rem
+                grp_start[:, w] = isl & (rem > 0)
+                run = np.where(
+                    isl, np.where(rem > 0, rem, run + pp), 0
+                )
+            # global row ids for this level's groups (row-major order)
+            gflat = grp_start.reshape(-1)
+            gid = np.cumsum(gflat).reshape(n, W) - 1 + leaf_row_base
+            n_groups = int(gflat.sum())
+            # resolve each member's open-row id (the last start <= w)
+            segA_row = np.zeros((n, W), np.int64)
+            segB_row = np.zeros((n, W), np.int64)
+            cur_gid = np.zeros(n, np.int64)
+            for w in range(W):
+                segA_row[:, w] = cur_gid
+                cur_gid = np.where(grp_start[:, w], gid[:, w], cur_gid)
+                segB_row[:, w] = cur_gid
+            # row totals + conservative row boxes from contributing
+            # member leaf boxes, via reduceat over the (slot, A/B)
+            # segment stream whose gid is non-decreasing
+            mA = part_prev > 0
+            mB = part_rem > 0
+            seg_gid = np.concatenate(
+                [segA_row[mA] - leaf_row_base, segB_row[mB] - leaf_row_base]
+            )
+            seg_cnt = np.concatenate([part_prev[mA], part_rem[mB]])
+            seg_leaf = np.concatenate([ids[mA], ids[mB]])
+            if n_groups:
+                gtot_flat = np.bincount(
+                    seg_gid, weights=seg_cnt, minlength=n_groups
+                ).astype(np.int64)
+                glo = np.full((n_groups, 3), np.inf, np.float32)
+                ghi = np.full((n_groups, 3), -np.inf, np.float32)
+                for ax in range(3):
+                    np.minimum.at(glo[:, ax], seg_gid, bmin[seg_leaf, ax])
+                    np.maximum.at(ghi[:, ax], seg_gid, bmax[seg_leaf, ax])
+            else:
+                gtot_flat = np.zeros(0, np.int64)
+                glo = np.zeros((0, 3), np.float32)
+                ghi = np.zeros((0, 3), np.float32)
+            # record per-binary-leaf destination segments (<= 2 each)
+            if mA.any():
+                lids = ids[mA]
+                seg_rows_l.append(segA_row[mA])
+                seg_slot_l.append(prev_run[mA])
+                seg_len_l.append(part_prev[mA])
+                seg_src_l.append(data[lids, 1])
+                seg_leaf_l.append(lids)
+            if mB.any():
+                lids = ids[mB]
+                seg_rows_l.append(segB_row[mB])
+                seg_slot_l.append(np.zeros(int(mB.sum()), np.int64))
+                seg_len_l.append(part_rem[mB])
+                seg_src_l.append(data[lids, 1] + part_prev[mB])
+                seg_leaf_l.append(lids)
+            leaf_row_base += n_groups
+            if n_groups:
+                max_leaf_out = max(max_leaf_out, int(gtot_flat.max()))
+            gtot = np.zeros((n, W), np.int64)
+            gmin = np.zeros((n, W, 3), np.float32)
+            gmax = np.zeros((n, W, 3), np.float32)
+            gs = grp_start
+            gtot[gs] = gtot_flat[gid[gs] - leaf_row_base + n_groups]
+            gmin[gs] = glo[gid[gs] - leaf_row_base + n_groups]
+            gmax[gs] = ghi[gid[gs] - leaf_row_base + n_groups]
+            grow = gid
+            take = np.arange(n)[:, None]
+
+            # ---- compact to the post-merge child set ----
+            keep = (child_int | grp_start) & valid
+            order2 = np.argsort(~keep, axis=1, kind="stable")
+            ids = ids[take, order2]
+            child_int = (child_int & keep)[take, order2]
+            is_gleaf = grp_start[take, order2] & keep[take, order2]
+            validk = keep[take, order2]
+            blo = np.where(
+                is_gleaf[..., None], gmin[take, order2],
+                bmin[ids.clip(0)],
+            )
+            bhi = np.where(
+                is_gleaf[..., None], gmax[take, order2],
+                bmax[ids.clip(0)],
+            )
+            gcnt2 = gtot[take, order2]
+            grow2 = grow[take, order2]
+
             rows = empty_rows((n, NR, 128))
             for w in range(W):
                 r, c = divmod(w, 8)
-                v = valid[:, w]
-                rows[v, r, 8 * c : 8 * c + 3] = bmin[ids[v, w]]
-                rows[v, r, 8 * c + 3 : 8 * c + 6] = bmax[ids[v, w]]
+                v = validk[:, w]
+                rows[v, r, 8 * c : 8 * c + 3] = blo[v, w]
+                rows[v, r, 8 * c + 3 : 8 * c + 6] = bhi[v, w]
             rows[:, 0, 80] = axis.astype(np.float32)
-            # leaf children: -(leaf_row+1) meta + tri count
-            lr = np.where(child_leaf, leaf_row_of[ids], 0)
-            lc = np.where(child_leaf, data[ids.clip(0), 0], 0)
-            meta = np.where(child_leaf, -(lr + 1), 0)
+            meta = np.where(is_gleaf, -(grow2 + 1), 0)
             # internal children: next level's BFS NODE ids in row-major
             # order over this level's (node, slot) grid
             next_base = node_base + n
@@ -282,10 +487,10 @@ def collapse_bvh8(bvh: BVH, vertices, faces, width: int = 8) -> BVH8Scene:
             for w in range(W):
                 r, c = divmod(w, 8)
                 rows[:, r, 64 + c] = np.where(
-                    valid[:, w], meta[:, w], 0.0
+                    validk[:, w], meta[:, w], 0.0
                 ).astype(np.float32)
                 rows[:, r, 72 + c] = np.where(
-                    child_leaf[:, w], lc[:, w], 0.0
+                    is_gleaf[:, w], gcnt2[:, w], 0.0
                 ).astype(np.float32)
             level_rows.append(rows)
             level_meta.append(meta.astype(np.int64))
@@ -294,6 +499,7 @@ def collapse_bvh8(bvh: BVH, vertices, faces, width: int = 8) -> BVH8Scene:
             node_base = next_base
             if frontier.size:
                 max_depth += 1
+        m_rows = leaf_row_base
         bfs = np.concatenate(level_rows)  # (total, NR, 128)
         total = bfs.shape[0]
         # ---- reorder BFS nodes into DFS preorder (vectorized) ----
@@ -331,13 +537,35 @@ def collapse_bvh8(bvh: BVH, vertices, faces, width: int = 8) -> BVH8Scene:
         # software-pipelined loop parks on it (empty boxes never hit)
         nodes3[-1] = empty_rows((NR, 128))
         nodes = nodes3.reshape(-1, 128)
+
+    # ---- leaf table: fill packed rows from destination segments ----
+    seg_row = np.concatenate(seg_rows_l) if seg_rows_l else np.zeros(0, np.int64)
+    seg_slot = np.concatenate(seg_slot_l) if seg_slot_l else np.zeros(0, np.int64)
+    seg_len = np.concatenate(seg_len_l) if seg_len_l else np.zeros(0, np.int64)
+    seg_src = np.concatenate(seg_src_l) if seg_src_l else np.zeros(0, np.int64)
+    leafs = np.zeros((max(m_rows, 1), 128), np.float32)
+    tri_all = vertices[faces[indices]].reshape(-1, 9)  # leaf-ordered
+    pid_all = indices.astype(np.int32).astype(np.float32)
+    _fill_leaf_segments(
+        leafs, seg_row, seg_slot, seg_len, seg_src, tri_all, 9, 0, 90,
+        pid_all,
+    )
+    leafs_woop = None
+    if woop:
+        leafs_woop = np.zeros((max(m_rows, 1), 128), np.float32)
+        wflat = _woop_transforms_from(vertices, faces, indices)
+        _fill_leaf_segments(
+            leafs_woop, seg_row, seg_slot, seg_len, seg_src, wflat, 12,
+            0, 108, pid_all,
+        )
     return BVH8Scene(
         nodes=nodes,
         leafs=leafs,
         num_nodes=total,  # logical nodes, excludes the dummy
-        num_leaf_rows=m,
+        num_leaf_rows=m_rows,
         depth=max_depth + 1,
-        max_leaf=int(counts.max(initial=1)),
+        max_leaf=max_leaf_out,
+        leafs_woop=leafs_woop,
         width=W,
     )
 
@@ -389,6 +617,11 @@ def build_woop_leafs(bvh: BVH, vertices, faces) -> np.ndarray:
     rays may pick the neighbouring triangle (equal-t) or, rarely, slip
     through a shared edge. Use the default watertight intersector when
     bit-parity with the reference matters.
+
+    NOTE: rows here map 1:1 to binary leaves — only valid for scenes
+    collapsed with ``merge_leafs=False``. Merged scenes must bake the
+    woop table inside the collapse (``collapse_bvh8(..., woop=True)``)
+    so both tables share the merged row layout.
     """
     vertices = np.asarray(vertices, np.float64)
     faces = np.asarray(faces)
@@ -404,43 +637,7 @@ def build_woop_leafs(bvh: BVH, vertices, faces) -> np.ndarray:
             f"block at lane 108); build with max_leaf_primitives<=9 "
             f"(got {counts.max()})"
         )
-    # closed-form inverse of E = [e1 e2 n] (columns) via the adjugate:
-    # np.linalg.inv on (L, 3, 3) runs a per-matrix LAPACK solve (~45 s
-    # at 1M tris on this host); the vectorized cofactor form is ~30
-    # flops/tri. Rows of E^-1 are the cross products of the other two
-    # columns over det, det = e1 . (e2 x n) = n . n. Computed in
-    # cache-sized chunks with manual cross products: whole-array
-    # np.cross/np.stack allocate ~350 MB of f64 temporaries, and
-    # first-touch page faults on this throttled vCPU cost ~25 s/2M tris.
-    L = indices.shape[0]
-    flat = np.empty((L, 12), np.float32)  # M rows + anchor p0
-    CHUNK = 1 << 18
-    for a in range(0, L, CHUNK):
-        b = min(a + CHUNK, L)
-        tri = vertices[faces[indices[a:b]]]  # (c, 3, 3) f64
-        p0 = tri[:, 0]
-        e1 = tri[:, 1] - p0
-        e2 = tri[:, 2] - p0
-
-        def cross(x, y):
-            return (
-                x[:, 1] * y[:, 2] - x[:, 2] * y[:, 1],
-                x[:, 2] * y[:, 0] - x[:, 0] * y[:, 2],
-                x[:, 0] * y[:, 1] - x[:, 1] * y[:, 0],
-            )
-
-        nx, ny, nz = cross(e1, e2)
-        det = nx * nx + ny * ny + nz * nz
-        ok = det > 0.0
-        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
-        n3 = np.stack([nx, ny, nz], axis=1)
-        r0 = cross(e2, n3)
-        r1 = cross(n3, e1)
-        for k in range(3):
-            flat[a:b, k] = r0[k] * inv
-            flat[a:b, 3 + k] = r1[k] * inv
-            flat[a:b, 6 + k] = n3[:, k] * inv
-            flat[a:b, 9 + k] = p0[:, k]
+    flat = _woop_transforms_from(vertices, faces, indices)
     pid_all = indices.astype(np.int32)
 
     m = leaf_ids.shape[0]

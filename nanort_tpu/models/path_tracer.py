@@ -427,19 +427,18 @@ def make_pt_scene(
     packed = pack_scene(bvh, np.asarray(vertices), np.asarray(faces))
     scene8 = None
     if engine in ("pallas", "turbo"):
-        from ..build.bvh8 import build_woop_leafs, collapse_bvh8
+        from ..build.bvh8 import collapse_bvh8
 
-        s8 = collapse_bvh8(bvh, np.asarray(vertices), np.asarray(faces))
+        s8 = collapse_bvh8(
+            bvh, np.asarray(vertices), np.asarray(faces),
+            woop=engine == "turbo",
+        )
         scene8 = s8._replace(
             nodes=jnp.asarray(s8.nodes),
             leafs=jnp.asarray(s8.leafs),
             leafs_woop=(
-                jnp.asarray(
-                    build_woop_leafs(
-                        bvh, np.asarray(vertices), np.asarray(faces)
-                    )
-                )
-                if engine == "turbo" else None
+                jnp.asarray(s8.leafs_woop)
+                if s8.leafs_woop is not None else None
             ),
         )
     mats = Materials(

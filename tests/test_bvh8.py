@@ -307,3 +307,64 @@ def test_collapse16_traversal_matches_brute_force():
         else:
             assert best_p != -1, i
             assert abs(best_t - want_t[i]) < 1e-3 * max(1.0, want_t[i]), i
+
+
+def test_merge_leafs_occupancy_and_woop_consistency():
+    """merge_leafs bin-packs adjacent sibling leaves: fewer rows, same
+    prim coverage, and collapse(woop=True) rows must describe the SAME
+    triangles slot-for-slot as the watertight rows."""
+    from nanort_tpu.build.bvh8 import collapse_bvh8
+
+    v, f = make_random_triangles(20_000, seed=4)
+    mesh = TriangleMesh(vertices=v, faces=f)
+    opts = BVHBuildOptions(min_leaf_primitives=9, max_leaf_primitives=9)
+    bvh, _ = build_triangle_bvh(mesh, opts)
+    plain = collapse_bvh8(bvh, v, f, merge_leafs=False)
+    merged = collapse_bvh8(bvh, v, f, merge_leafs=True, woop=True)
+    assert merged.num_leaf_rows < plain.num_leaf_rows
+    assert merged.num_nodes <= plain.num_nodes
+    assert merged.max_leaf <= 9
+
+    def walk(s8):
+        out = {}
+        stack = [0]
+        while stack:
+            nid = stack.pop()
+            row = s8.nodes[nid]
+            for c in range(8):
+                if row[8 * c] >= 3.0e38:
+                    continue
+                meta = int(row[64 + c])
+                if meta >= 0:
+                    stack.append(meta)
+                    continue
+                lr = -meta - 1
+                cnt = int(row[72 + c])
+                lo = row[8 * c: 8 * c + 3]
+                hi = row[8 * c + 3: 8 * c + 6]
+                for t in range(cnt):
+                    pid = int(s8.leafs[lr, 90 + t])
+                    assert pid not in out
+                    tri = s8.leafs[lr, 9 * t: 9 * t + 9].reshape(3, 3)
+                    assert (tri.min(0) >= lo - 1e-3).all()
+                    assert (tri.max(0) <= hi + 1e-3).all()
+                    out[pid] = (lr, t)
+        return out
+
+    cov_p = walk(plain)
+    cov_m = walk(merged)
+    assert sorted(cov_p) == list(range(len(f)))
+    assert sorted(cov_m) == list(range(len(f)))
+
+    # woop rows: slot s of row r transforms the same triangle as the
+    # watertight row's slot s (pid lanes agree; M maps its verts to the
+    # unit triangle)
+    for pid, (lr, t) in list(cov_m.items())[:512]:
+        assert int(merged.leafs_woop[lr, 108 + t]) == pid
+        M = merged.leafs_woop[lr, 12 * t: 12 * t + 9].reshape(3, 3)
+        p0 = merged.leafs_woop[lr, 12 * t + 9: 12 * t + 12]
+        tri = merged.leafs[lr, 9 * t: 9 * t + 9].reshape(3, 3)
+        e1 = (tri[1] - p0) @ M.T
+        e2 = (tri[2] - p0) @ M.T
+        np.testing.assert_allclose(e1, [1, 0, 0], atol=2e-3)
+        np.testing.assert_allclose(e2, [0, 1, 0], atol=2e-3)

@@ -38,7 +38,7 @@ def main():
     import jax.numpy as jnp
 
     from nanort_tpu import BVHBuildOptions, build_triangle_bvh
-    from nanort_tpu.build.bvh8 import build_woop_leafs, collapse_bvh8
+    from nanort_tpu.build.bvh8 import collapse_bvh8
     from nanort_tpu.io.procedural import make_subdivided_sphere_scene
     from nanort_tpu.models.cameras import look_at, pinhole_rays
     from nanort_tpu.ops.triangle import TriangleMesh
@@ -60,11 +60,11 @@ def main():
         mesh, BVHBuildOptions(min_leaf_primitives=9, max_leaf_primitives=9)
     )
     log(f"build {time.perf_counter()-t0:.1f}s, {len(f)} tris")
-    s8 = collapse_bvh8(bvh, v, f)
+    s8 = collapse_bvh8(bvh, v, f, woop=True)
     s8 = s8._replace(
         nodes=jax.device_put(jnp.asarray(s8.nodes)),
         leafs=jax.device_put(jnp.asarray(s8.leafs)),
-        leafs_woop=jax.device_put(jnp.asarray(build_woop_leafs(bvh, v, f))),
+        leafs_woop=jax.device_put(jnp.asarray(s8.leafs_woop)),
     )
     log(f"bvh8 {s8.num_nodes} nodes {s8.num_leaf_rows} leaf rows depth {s8.depth}")
 
