@@ -395,8 +395,8 @@ def _kernel_body(
     LQ_CAP = lq_cap
 
     if debug_counts:
-        leafq_ref[32] = 0  # node pops (slack SMEM slots as counters)
-        leafq_ref[33] = 0  # leaf drains
+        leafq_ref[60] = 0  # node pops (slack SMEM slots as counters,
+        leafq_ref[61] = 0  # leaf drains — above any reachable queue index)
 
     NR = width // 8  # rows per node (16-wide nodes span 2 rows)
     if nodes_hi_ref is not None:  # park node: empty boxes never hit
@@ -506,7 +506,7 @@ def _kernel_body(
     def node_step(c):
         sp, lq, t_b = c
         if debug_counts:
-            leafq_ref[32] = leafq_ref[32] + 1
+            leafq_ref[60] = leafq_ref[60] + 1
         sp = sp - 1
         idx = stack_ref[sp]
         rows = [_fetch_row(idx, 0)]
@@ -564,7 +564,7 @@ def _kernel_body(
     def node_step_frustum(c):
         sp, lq, T = c
         if debug_counts:
-            leafq_ref[32] = leafq_ref[32] + 1
+            leafq_ref[60] = leafq_ref[60] + 1
         sp = sp - 1
         idx = stack_ref[sp]
         row = _fetch_row(idx, 0)
@@ -618,7 +618,7 @@ def _kernel_body(
 
         def drain_body(q, carry):
             if debug_counts:
-                leafq_ref[33] = leafq_ref[33] + 1
+                leafq_ref[61] = leafq_ref[61] + 1
             packed = leafq_ref[q]
             if hbm_leafs:
                 _leaf_dma(q).wait()
@@ -759,8 +759,8 @@ def _kernel_body(
     t_out[:] = t_b
     if debug_counts:
         # debug mode: u/v carry the per-packet visit counters instead
-        u_out[:] = jnp.full(u_b.shape, leafq_ref[32].astype(f32))
-        v_out[:] = jnp.full(v_b.shape, leafq_ref[33].astype(f32))
+        u_out[:] = jnp.full(u_b.shape, leafq_ref[60].astype(f32))
+        v_out[:] = jnp.full(v_b.shape, leafq_ref[61].astype(f32))
     else:
         u_out[:] = u_b
         v_out[:] = v_b
@@ -853,9 +853,10 @@ def _make_kernel(
             pltpu.SemaphoreType.DMA(()),
         ]
     if hbm_leafs:
+        nq = lq_cap + width * pop_n  # worst-case queued rows, see above
         scratch += [
-            pltpu.VMEM((16, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((16,)),
+            pltpu.VMEM((nq, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((nq,)),
         ]
     # per-packet scalar row (frustum bounds + root) rides in a 128-lane
     # SMEM block; the (1, 128) trailing block shape matches the array's
@@ -1167,10 +1168,15 @@ def traverse_bvh8(
         # backend debugging.
         warnings.warn("pop_n > 2 faults the v5e backend; clamping to 2")
         pop_n = 2
-    if lq_cap > 2 and not unclamp:
-        # same story: lq_cap >= 4 kernels fault at runtime (fresh-process
-        # repro) and lq_cap=2 already measures within noise of 1
-        warnings.warn("lq_cap > 2 faults the v5e backend; clamping to 2")
+    if lq_cap > 2 and not unclamp and not hbm_leafs:
+        # The r2 "lq_cap > 2 faults" in HBM modes were an undersized DMA
+        # scratch: one node_step can queue lq_cap-1 + width*pop_n leaf
+        # rows but the buffer/semaphore arrays held 16 — queue indices
+        # past 15 were OOB DMA targets (r3 fix: exact worst-case sizing;
+        # lq_cap 4/8/16 verified fault-free on the 10M HBM scene, perf
+        # flat — the 10M path is leaf-compute bound, not DMA bound).
+        # VMEM-mode lq_cap > 2 is clamped pending its own fault probe.
+        warnings.warn("lq_cap > 2 unverified for VMEM scenes; clamping")
         lq_cap = 2
     # frustum: replace the per-ray node-phase slab vote with a
     # conservative per-packet interval test run on the scalar unit (the

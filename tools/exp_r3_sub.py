@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+os.environ["NANORT_EXPERIMENTAL_UNCLAMP"] = "1"
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
@@ -79,6 +81,11 @@ def main():
         ("wt_l10_sub32", 10, 32, {}),
         ("wt_l10_sub64", 10, 64, {}),
         ("woop_l9_sub64", 9, 64, dict(intersector="woop")),
+        # fault-boundary probes (VMEM scene): the lq_cap>2 INTERNAL
+        # faults in HBM mode were an undersized DMA-buffer OOB (fixed);
+        # check whether the VMEM-mode fault class exists at all
+        ("wt_l9_lq4", 9, 32, dict(lq_cap=4)),
+        ("wt_l9_lq8", 9, 32, dict(lq_cap=8)),
     ):
         # keep tile area == packet size so packets stay square-ish
         tile_h = 128
