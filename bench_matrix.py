@@ -210,7 +210,12 @@ def main():
 
     # ---- 10M tris via HBM scene space ----
     if "tenm" not in SKIP:
-        res = int(os.environ.get("NANORT_MATRIX_TENM_RES", 4096))
+        # megabatch at full density: packet traversal cost scales with
+        # geometry per packet footprint, so the honest Mrays/s for the
+        # "~10M triangles efficiently" claim uses the same ray density
+        # as the 1M headline (res 8192); sub=16 packets halve the union
+        # footprint (r3: 8192^2/sub16 33.5 vs 4096^2/sub32 8.3 Mrays/s)
+        res = int(os.environ.get("NANORT_MATRIX_TENM_RES", 8192))
         v, f = make_subdivided_sphere_scene(10_000_000)
         mesh = TriangleMesh(vertices=v, faces=f)
         t0 = time.perf_counter()
@@ -227,19 +232,20 @@ def main():
         )
         cam = look_at(eye=(0, 0, 2.2), center=(0, 0, 0),
                       width=res, height=res, fov=60.0)
-        rays_t, _ = tile_image_rays(pinhole_rays(cam), min(128, res), 64)
+        rays_t, _ = tile_image_rays(pinhole_rays(cam), min(128, res), 32)
         spec_t = detect_specialization(rays_t)
-        h = traverse_bvh8(s8, rays_t, specialize=spec_t)  # auto -> hbm_leafs
+        sub_t = 16
+        h = traverse_bvh8(s8, rays_t, specialize=spec_t, sub=sub_t)
         float(h.t.min())
         ts = []
         for _ in range(2):
             t0 = time.perf_counter()
-            h = traverse_bvh8(s8, rays_t, specialize=spec_t)
+            h = traverse_bvh8(s8, rays_t, specialize=spec_t, sub=sub_t)
             float(h.t.min())
             ts.append(time.perf_counter() - t0)
         emit("coherent_primary_mrays_per_s_10mtri", res * res / min(ts) / 1e6,
              "Mrays/s", build_s=round(build_s, 1),
-             collapse_s=round(collapse_s, 1), res=res)
+             collapse_s=round(collapse_s, 1), res=res, sub=sub_t)
 
     with open("BENCH_MATRIX.json", "w") as fh:
         json.dump(ROWS, fh, indent=1)
