@@ -37,6 +37,7 @@ Requires the binary build to use ``max_leaf_primitives <= 10``.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import numpy as np
@@ -53,11 +54,11 @@ class BVH8Scene:
     jitted callers can use them as shape/unroll parameters even when the
     scene itself is a traced argument).
 
-    ``width`` is the node fan-out: 8 (one row per node) or 16 (two
-    consecutive rows per node, ``collapse_bvh16``) — the packet kernel
-    fetches ``width // 8`` rows per node pop."""
+    ``width`` is the node fan-out: 8 (one f32 row per node) or 16 (ONE
+    packed row per node: bf16 box pairs, ``collapse_bvh16``) — the
+    packet kernel fetches one (NR, 128) block per node pop."""
 
-    nodes: np.ndarray  # ((N+1) * width//8, 128) f32 (incl. dummy park node)
+    nodes: np.ndarray  # (N+1 rows [*2 if unpacked16], 128) f32 (+ dummy)
     leafs: np.ndarray  # (M, 128) f32
     num_nodes: int
     num_leaf_rows: int
@@ -82,6 +83,39 @@ jax.tree_util.register_pytree_node(
         ch[0], ch[1], *aux[:4], leafs_woop=ch[2], width=aux[4]
     ),
 )
+
+
+def pack_bf16_box(lo, hi) -> np.ndarray:
+    """Pack f32 slab bound pairs into ONE f32-bit-pattern lane each:
+    high 16 bits = bf16(lo) rounded toward -inf, low 16 bits = bf16(hi)
+    rounded toward +inf. Rounding is OUTWARD, so the packed box always
+    CONTAINS the exact f32 box: traversal through packed nodes visits a
+    superset of the exact-box visits (~0.4% looser bounds) and every
+    emitted hit record is unchanged. bf16 rounding is monotonic, so
+    parent-contains-child orderings survive packing. Values whose low
+    mantissa bits are already zero round to themselves; magnitudes that
+    saturate round to +-inf, which the slab test treats as an unbounded
+    (still conservative) side."""
+    lo = np.ascontiguousarray(np.asarray(lo, np.float32))
+    hi = np.ascontiguousarray(np.asarray(hi, np.float32))
+    lb = lo.view(np.uint32)
+    hb = hi.view(np.uint32)
+    # toward -inf: truncation moves toward zero, so negative values with
+    # live low bits need one bf16 ulp of extra magnitude
+    lb = np.where((lb & 0xFFFF != 0) & (lb >> 31 == 1), lb + 0x10000, lb)
+    # toward +inf: positive values with live low bits round up
+    hb = np.where((hb & 0xFFFF != 0) & (hb >> 31 == 0), hb + 0x10000, hb)
+    packed = ((lb >> 16) << 16) | (hb >> 16)
+    return packed.astype(np.uint32).view(np.float32)
+
+
+def unpack_bf16_box(lane) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side inverse of :func:`pack_bf16_box` (tests/tools): returns
+    (lo, hi) f32 arrays from packed box lanes."""
+    bits = np.ascontiguousarray(np.asarray(lane, np.float32)).view(np.uint32)
+    lo = (bits & np.uint32(0xFFFF0000)).view(np.float32)
+    hi = (bits << np.uint32(16)).view(np.float32)
+    return lo, hi
 
 
 def _surface_area(bmin, bmax):
@@ -236,8 +270,27 @@ def collapse_bvh8(
     """
     if width not in (8, 16):
         raise ValueError(f"width must be 8 or 16: {width}")
+    # 16-wide nodes use the PACKED single-row layout: 16 children in ONE
+    # (1, 128) row — per child 3 lanes of bf16-packed slab bounds
+    # (pack_bf16_box) at lanes [3w, 3w+3), metas at 48+w, leaf counts at
+    # 64+w, order axis at 80. One node pop = one dynamic row fetch = 16
+    # slab tests per vector->scalar sync at half the VMEM bytes of the
+    # 8-wide layout; outward bf16 rounding keeps records exact.
+    packed16 = width == 16
+    import time as _time
+    _prof = os.environ.get("NANORT_COLLAPSE_PROFILE") == "1"
+    _t0 = _time.perf_counter()
+    _marks: list[tuple[str, float]] = []
+
+    def _mark(name):
+        nonlocal _t0
+        if _prof:
+            now = _time.perf_counter()
+            _marks.append((name, now - _t0))
+            _t0 = now
+
     W = width
-    NR = W // 8  # rows per node
+    NR = 1 if packed16 else W // 8  # rows per node
     vertices = np.asarray(vertices, np.float32)
     faces = np.asarray(faces)
     bmin = np.asarray(bvh.bmin, np.float32)
@@ -297,23 +350,34 @@ def collapse_bvh8(
             cnt[can] += 1
         return ids, cnt
 
+    if packed16:
+        _PE = pack_bf16_box(np.float32(EMPTY_BIG), np.float32(-EMPTY_BIG))
+
     def empty_rows(shape):
         r = np.zeros(shape, np.float32)
-        r[..., 0:64:8] = EMPTY_BIG
-        r[..., 1:64:8] = EMPTY_BIG
-        r[..., 2:64:8] = EMPTY_BIG
-        r[..., 3:64:8] = -EMPTY_BIG
-        r[..., 4:64:8] = -EMPTY_BIG
-        r[..., 5:64:8] = -EMPTY_BIG
+        if packed16:
+            r[..., 0:48] = _PE  # inverted bf16 box: lo > hi, never hits
+        else:
+            r[..., 0:64:8] = EMPTY_BIG
+            r[..., 1:64:8] = EMPTY_BIG
+            r[..., 2:64:8] = EMPTY_BIG
+            r[..., 3:64:8] = -EMPTY_BIG
+            r[..., 4:64:8] = -EMPTY_BIG
+            r[..., 5:64:8] = -EMPTY_BIG
         return r
 
     if flag[0] == 1:
         # degenerate single-leaf tree: one node with one leaf child
         nodes3 = empty_rows((2, NR, 128))
-        nodes3[0, 0, 0:3] = bmin[0]
-        nodes3[0, 0, 3:6] = bmax[0]
-        nodes3[0, 0, 64] = np.float32(-1.0)  # leaf row 0
-        nodes3[0, 0, 72] = np.float32(data[0, 0])
+        if packed16:
+            nodes3[0, 0, 0:3] = pack_bf16_box(bmin[0], bmax[0])
+            nodes3[0, 0, 48] = np.float32(-1.0)  # leaf row 0
+            nodes3[0, 0, 64] = np.float32(data[0, 0])
+        else:
+            nodes3[0, 0, 0:3] = bmin[0]
+            nodes3[0, 0, 3:6] = bmax[0]
+            nodes3[0, 0, 64] = np.float32(-1.0)  # leaf row 0
+            nodes3[0, 0, 72] = np.float32(data[0, 0])
         nodes = nodes3.reshape(-1, 128)
         seg_rows_l = [np.zeros(1, np.int64)]
         seg_slot_l = [np.zeros(1, np.int64)]
@@ -339,9 +403,13 @@ def collapse_bvh8(
         max_depth = 0
         max_leaf_out = 1
         rngW = np.arange(W)[None, :]
+        _cut_s = 0.0
         while frontier.size:
             n = frontier.shape[0]
+            _tc = _time.perf_counter() if _prof else 0.0
             ids, cnt = cut8_batch(frontier)
+            if _prof:
+                _cut_s += _time.perf_counter() - _tc
             valid = rngW < cnt[:, None]
             child_leaf = valid & (flag[ids] == 1)
             child_int = valid & ~child_leaf
@@ -472,11 +540,17 @@ def collapse_bvh8(
             grow2 = grow[take, order2]
 
             rows = empty_rows((n, NR, 128))
-            for w in range(W):
-                r, c = divmod(w, 8)
-                v = validk[:, w]
-                rows[v, r, 8 * c : 8 * c + 3] = blo[v, w]
-                rows[v, r, 8 * c + 3 : 8 * c + 6] = bhi[v, w]
+            if packed16:
+                pb = pack_bf16_box(blo, bhi)  # (n, W, 3)
+                for w in range(W):
+                    v = validk[:, w]
+                    rows[v, 0, 3 * w : 3 * w + 3] = pb[v, w]
+            else:
+                for w in range(W):
+                    r, c = divmod(w, 8)
+                    v = validk[:, w]
+                    rows[v, r, 8 * c : 8 * c + 3] = blo[v, w]
+                    rows[v, r, 8 * c + 3 : 8 * c + 6] = bhi[v, w]
             rows[:, 0, 80] = axis.astype(np.float32)
             meta = np.where(is_gleaf, -(grow2 + 1), 0)
             # internal children: next level's BFS NODE ids in row-major
@@ -485,11 +559,15 @@ def collapse_bvh8(
             int_rank = (np.cumsum(child_int.reshape(-1)) - 1).reshape(n, W)
             meta = np.where(child_int, next_base + int_rank, meta)
             for w in range(W):
-                r, c = divmod(w, 8)
-                rows[:, r, 64 + c] = np.where(
+                if packed16:
+                    r, mlane, clane = 0, 48 + w, 64 + w
+                else:
+                    r, c = divmod(w, 8)
+                    mlane, clane = 64 + c, 72 + c
+                rows[:, r, mlane] = np.where(
                     validk[:, w], meta[:, w], 0.0
                 ).astype(np.float32)
-                rows[:, r, 72 + c] = np.where(
+                rows[:, r, clane] = np.where(
                     is_gleaf[:, w], gcnt2[:, w], 0.0
                 ).astype(np.float32)
             level_rows.append(rows)
@@ -500,6 +578,9 @@ def collapse_bvh8(
             if frontier.size:
                 max_depth += 1
         m_rows = leaf_row_base
+        _mark("level_loop")
+        if _prof:
+            _marks.append(("  cut8_of_level_loop", _cut_s))
         bfs = np.concatenate(level_rows)  # (total, NR, 128)
         total = bfs.shape[0]
         # ---- reorder BFS nodes into DFS preorder (vectorized) ----
@@ -527,16 +608,27 @@ def collapse_bvh8(
             perm[child[a:b][is_int[a:b]]] = off[is_int[a:b]]
         nodes3 = np.zeros((total + 1, NR, 128), np.float32)
         nodes3[perm] = bfs
-        # remap internal metas through the permutation
+        # remap internal metas through the permutation; empty slots are
+        # recognized by their inverted (never-hit) box, not the meta lane
         for w in range(W):
-            r, c = divmod(w, 8)
-            lane = nodes3[:, r, 64 + c].astype(np.int64)
-            vi = (nodes3[:, r, 8 * c] < EMPTY_BIG) & (lane >= 0)
-            nodes3[vi, r, 64 + c] = perm[lane[vi]].astype(np.float32)
+            if packed16:
+                r, mlane = 0, 48 + w
+                occupied = (
+                    nodes3[:, 0, 3 * w].view(np.uint32)
+                    != _PE.reshape(1).view(np.uint32)[0]
+                )
+            else:
+                r, c = divmod(w, 8)
+                mlane = 64 + c
+                occupied = nodes3[:, r, 8 * c] < EMPTY_BIG
+            lane = nodes3[:, r, mlane].astype(np.int64)
+            vi = occupied & (lane >= 0)
+            nodes3[vi, r, mlane] = perm[lane[vi]].astype(np.float32)
         # dummy park node at id num_nodes: the packet kernel's
         # software-pipelined loop parks on it (empty boxes never hit)
         nodes3[-1] = empty_rows((NR, 128))
         nodes = nodes3.reshape(-1, 128)
+        _mark("preorder_permute")
 
     # ---- leaf table: fill packed rows from destination segments ----
     seg_row = np.concatenate(seg_rows_l) if seg_rows_l else np.zeros(0, np.int64)
@@ -546,18 +638,25 @@ def collapse_bvh8(
     leafs = np.zeros((max(m_rows, 1), 128), np.float32)
     tri_all = vertices[faces[indices]].reshape(-1, 9)  # leaf-ordered
     pid_all = indices.astype(np.int32).astype(np.float32)
+    _mark("tri_gather")
     _fill_leaf_segments(
         leafs, seg_row, seg_slot, seg_len, seg_src, tri_all, 9, 0, 90,
         pid_all,
     )
+    _mark("wt_fill")
     leafs_woop = None
     if woop:
         leafs_woop = np.zeros((max(m_rows, 1), 128), np.float32)
         wflat = _woop_transforms_from(vertices, faces, indices)
+        _mark("woop_transforms")
         _fill_leaf_segments(
             leafs_woop, seg_row, seg_slot, seg_len, seg_src, wflat, 12,
             0, 108, pid_all,
         )
+        _mark("woop_fill")
+    if _prof:
+        print("# collapse_bvh8 profile: "
+              + " ".join(f"{k}={v:.1f}s" for k, v in _marks), flush=True)
     return BVH8Scene(
         nodes=nodes,
         leafs=leafs,
@@ -570,15 +669,17 @@ def collapse_bvh8(
     )
 
 
-def collapse_bvh16(bvh: BVH, vertices, faces) -> BVH8Scene:
-    """16-wide collapse: one node = TWO consecutive (1, 128) rows, each in
-    the BVH8 row format (children 0-7 in the even row, 8-15 in the odd
-    row; the order axis rides the even row's lane 80). The packet kernel
-    fetches the pair as ONE contiguous (2, 128) dynamic slice, so a node
-    pop answers 16 slab tests per vector->scalar sync — double BVH8's
-    rate — without adding in-flight dynamic fetches (3+ of those fault
-    the v5e backend; see pallas_packet.py's pop_n clamp)."""
-    return collapse_bvh8(bvh, vertices, faces, width=16)
+def collapse_bvh16(bvh: BVH, vertices, faces, **kw) -> BVH8Scene:
+    """16-wide collapse in the PACKED single-row node layout: 16 children
+    in ONE (1, 128) row — per child 3 lanes of bf16-packed slab bounds
+    (:func:`pack_bf16_box`, conservative outward rounding: records stay
+    exact) at lanes [3w, 3w+3), metas at 48+w, leaf counts at 64+w,
+    order axis at lane 80. One node pop = ONE (1, 128) dynamic fetch =
+    16 slab tests per vector->scalar sync (double BVH8's rate, without
+    adding in-flight dynamic fetches — 3+ of those fault the v5e
+    backend; see pallas_packet.py's pop_n clamp) at HALF the VMEM bytes
+    per child of the 8-wide f32 layout."""
+    return collapse_bvh8(bvh, vertices, faces, width=16, **kw)
 
 
 def build_woop_leafs(bvh: BVH, vertices, faces) -> np.ndarray:

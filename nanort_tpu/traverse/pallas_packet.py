@@ -343,17 +343,28 @@ def _kernel_body(
                     U = jnp.where(zmask, prod_diff(Cx, By, Cy, Bx), U)
                     V = jnp.where(zmask, prod_diff(Ax, Cy, Ay, Cx), V)
                     W = jnp.where(zmask, prod_diff(Bx, Ay, By, Ax), W)
-                any_neg = (U < 0.0) | (V < 0.0) | (W < 0.0)
-                any_pos = (U > 0.0) | (V > 0.0) | (W > 0.0)
+                # sign agreement via a min/max fold: boolean-equivalent to
+                # the reference's (U<0|V<0|W<0)&(U>0|V>0|W>0) reject
+                # (nanort.h:1270-1281) at 7 VPU ops instead of 12. A NaN
+                # edge term makes edge_ok false here where the sign form
+                # left it true, but such a lane can never validate either
+                # way (NaN det -> NaN tt fails the range tests), so every
+                # emitted record is bit-identical.
                 if cull_back_face:
-                    edge_ok = ~any_neg
+                    edge_ok = jnp.minimum(jnp.minimum(U, V), W) >= 0.0
                 else:
-                    edge_ok = ~(any_neg & any_pos)
+                    edge_ok = (jnp.minimum(jnp.minimum(U, V), W) >= 0.0) | (
+                        jnp.maximum(jnp.maximum(U, V), W) <= 0.0
+                    )
                 det = U + V + W
-                det_ok = det != 0.0
-                rcp = 1.0 / jnp.where(det_ok, det, 1.0)
+                # det == 0 needs no explicit guard: with agreeing signs it
+                # forces U = V = W = 0, so the t numerator is exactly 0 and
+                # tt = 0 * inf = NaN, which fails tt <= t_b; with mixed
+                # signs edge_ok already rejected the lane. rcp is
+                # bit-identical to the guarded 1/det whenever det != 0.
+                rcp = 1.0 / det
                 tt = (U * (sz * Az) + V * (sz * Bz) + W * (sz * Cz)) * rcp
-                valid = edge_ok & det_ok & (tt <= t_b) & (tt >= min_t)
+                valid = edge_ok & (tt <= t_b) & (tt >= min_t)
                 valid = valid & (ti < cnt)
                 if use_skip:
                     valid = valid & (pid_t != skip_pid)
@@ -398,7 +409,10 @@ def _kernel_body(
         leafq_ref[60] = 0  # node pops (slack SMEM slots as counters,
         leafq_ref[61] = 0  # leaf drains — above any reachable queue index)
 
-    NR = width // 8  # rows per node (16-wide nodes span 2 rows)
+    # 16-wide nodes use the packed single-row layout (collapse_bvh16):
+    # bf16 box pairs at lanes [3w, 3w+3), metas 48+w, counts 64+w
+    packed16 = width == 16
+    NR = 1 if packed16 else width // 8  # rows per node
     if nodes_hi_ref is not None:  # park node: empty boxes never hit
         dummy_idx = (n_node_lo + nodes_hi_ref.shape[0]) // NR - 1
     else:
@@ -427,15 +441,31 @@ def _kernel_body(
             return jnp.where(idx < n_node_lo, rlo, rhi)
         return nodes_ref[pl.ds(idx * NR, NR), :]  # (NR, 128)
 
+    MASK_HI = jnp.int32(-65536)  # 0xFFFF0000: bf16(lo) rides the high half
+
+    def _unpack_pair(v):
+        """Packed bf16 (lo, hi) slab bounds from one f32 lane value: two
+        scalar-unit bit ops each (bf16 -> f32 is a 16-bit shift)."""
+        bits = jax.lax.bitcast_convert_type(v, jnp.int32)
+        lo = jax.lax.bitcast_convert_type(bits & MASK_HI, jnp.float32)
+        hi = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
+        return lo, hi
+
     def _slab8(rowblk, t_b, base):
         """Slab-test all ``width`` children of one node block (NR, 128);
         returns their hit bits ORed at ``base``."""
         m = None
         for w in range(width):
-            rr, cc = divmod(w, 8)
-            row = rowblk[rr : rr + 1]
-            b0x, b0y, b0z = row[0, 8 * cc], row[0, 8 * cc + 1], row[0, 8 * cc + 2]
-            b1x, b1y, b1z = row[0, 8 * cc + 3], row[0, 8 * cc + 4], row[0, 8 * cc + 5]
+            if packed16:
+                row = rowblk[0:1]
+                b0x, b1x = _unpack_pair(row[0, 3 * w])
+                b0y, b1y = _unpack_pair(row[0, 3 * w + 1])
+                b0z, b1z = _unpack_pair(row[0, 3 * w + 2])
+            else:
+                rr, cc = divmod(w, 8)
+                row = rowblk[rr : rr + 1]
+                b0x, b0y, b0z = row[0, 8 * cc], row[0, 8 * cc + 1], row[0, 8 * cc + 2]
+                b1x, b1y, b1z = row[0, 8 * cc + 3], row[0, 8 * cc + 4], row[0, 8 * cc + 5]
             if shared_origin:
                 # subtract-then-select: (bound - origin) are scalar-unit
                 # subtractions of the exact same f32 values, so the
@@ -484,16 +514,24 @@ def _kernel_body(
         )
         for j in range(width):
             jd = width - 1 - j
-            ra, ca = divmod(j, 8)
-            rd, cd = divmod(jd, 8)
             cc = jnp.where(neg, j, jd)
             bit = (mask >> (base + cc)) & 1
-            meta = jnp.where(
-                neg, rowblk[ra, 64 + ca], rowblk[rd, 64 + cd]
-            ).astype(jnp.int32)
-            cnt = jnp.where(
-                neg, rowblk[ra, 72 + ca], rowblk[rd, 72 + cd]
-            ).astype(jnp.int32)
+            if packed16:
+                meta = jnp.where(
+                    neg, rowblk[0, 48 + j], rowblk[0, 48 + jd]
+                ).astype(jnp.int32)
+                cnt = jnp.where(
+                    neg, rowblk[0, 64 + j], rowblk[0, 64 + jd]
+                ).astype(jnp.int32)
+            else:
+                ra, ca = divmod(j, 8)
+                rd, cd = divmod(jd, 8)
+                meta = jnp.where(
+                    neg, rowblk[ra, 64 + ca], rowblk[rd, 64 + cd]
+                ).astype(jnp.int32)
+                cnt = jnp.where(
+                    neg, rowblk[ra, 72 + ca], rowblk[rd, 72 + cd]
+                ).astype(jnp.int32)
             internal = (meta >= 0).astype(jnp.int32)
             # unconditional writes; pointers advance only when the child
             # is a hit of the matching kind
@@ -848,8 +886,9 @@ def _make_kernel(
         pltpu.SMEM((64,), jnp.int32),  # leaf queue (cap + 8 slack)
     ]
     if hbm_nodes:
+        nr = 1 if width == 16 else width // 8  # packed16: one row/node
         scratch += [
-            pltpu.VMEM((max(2, pop_n) * (width // 8), LANES), jnp.float32),
+            pltpu.VMEM((max(2, pop_n) * nr, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ]
     if hbm_leafs:

@@ -174,7 +174,15 @@ def test_woop_degenerate_triangle_never_hits():
     np.testing.assert_array_equal(M, 0.0)
 
 
-# ---- 16-wide collapse (collapse_bvh16: 2 rows per node) ----
+# ---- 16-wide collapse (packed single-row nodes: bf16 box pairs at
+# lanes [3w, 3w+3), metas 48+w, counts 64+w) ----
+
+def _unpack16(blk, w):
+    from nanort_tpu.build.bvh8 import unpack_bf16_box
+
+    lo, hi = unpack_bf16_box(blk[3 * w: 3 * w + 3])
+    return lo, hi
+
 
 def _walk16(nodes, root=0):
     """Yield (node_id, child_box_lo, child_box_hi, meta, cnt) over the
@@ -182,15 +190,13 @@ def _walk16(nodes, root=0):
     stack = [root]
     while stack:
         nid = stack.pop()
-        blk = nodes[2 * nid: 2 * nid + 2]
+        blk = nodes[nid]
         for w in range(16):
-            r, c = divmod(w, 8)
-            lo = blk[r, 8 * c: 8 * c + 3]
-            if lo[0] >= 3.0e38:
+            lo, hi = _unpack16(blk, w)
+            if lo[0] > hi[0]:  # inverted box: empty slot
                 continue
-            hi = blk[r, 8 * c + 3: 8 * c + 6]
-            meta = int(blk[r, 64 + c])
-            cnt = int(blk[r, 72 + c])
+            meta = int(blk[48 + w])
+            cnt = int(blk[64 + w])
             yield nid, lo, hi, meta, cnt
             if meta >= 0:
                 stack.append(meta)
@@ -205,7 +211,7 @@ def test_collapse16_covers_all_prims_and_bounds():
     bvh, _ = build_triangle_bvh(mesh, opts)
     s16 = collapse_bvh16(bvh, v, f)
     assert s16.width == 16
-    assert s16.nodes.shape[0] == (s16.num_nodes + 1) * 2
+    assert s16.nodes.shape[0] == s16.num_nodes + 1  # packed: 1 row/node
 
     pids = []
     for nid, lo, hi, meta, cnt in _walk16(s16.nodes):
@@ -219,21 +225,21 @@ def test_collapse16_covers_all_prims_and_bounds():
                 assert (tri.max(0) <= hi + 1e-4).all()
     assert sorted(pids) == list(range(len(f)))
 
-    # internal child boxes contain their node's own children
+    # internal child boxes contain their node's own children (bf16
+    # rounding is monotonic outward, so containment is exact in packed
+    # space: no epsilon needed)
     boxes = {}  # node id -> (lo, hi) as promised by the parent
     for nid, lo, hi, meta, cnt in _walk16(s16.nodes):
         if meta >= 0:
             boxes[meta] = (lo.copy(), hi.copy())
     for nid, (plo, phi) in boxes.items():
-        for _, lo, hi, _, _ in _walk16(s16.nodes, nid):
-            break  # only direct children needed; _walk16 recurses, so:
-        blk = s16.nodes[2 * nid: 2 * nid + 2]
+        blk = s16.nodes[nid]
         for w in range(16):
-            r, c = divmod(w, 8)
-            if blk[r, 8 * c] >= 3.0e38:
+            lo, hi = _unpack16(blk, w)
+            if lo[0] > hi[0]:
                 continue
-            assert (blk[r, 8 * c: 8 * c + 3] >= plo - 1e-4).all()
-            assert (blk[r, 8 * c + 3: 8 * c + 6] <= phi + 1e-4).all()
+            assert (lo >= plo).all()
+            assert (hi <= phi).all()
 
 
 def test_collapse16_traversal_matches_brute_force():
@@ -267,25 +273,23 @@ def test_collapse16_traversal_matches_brute_force():
         inv = np.where(np.abs(d[i]) < 1e-30, np.inf, 1.0 / d[i])
         while stack:
             nid = stack.pop()
-            blk = nodes[2 * nid: 2 * nid + 2]
+            blk = nodes[nid]
             for w in range(16):
-                r, c = divmod(w, 8)
-                if blk[r, 8 * c] >= 3.0e38:
+                lo, hi = _unpack16(blk, w)
+                if lo[0] > hi[0]:
                     continue
-                lo = blk[r, 8 * c: 8 * c + 3]
-                hi = blk[r, 8 * c + 3: 8 * c + 6]
                 t0 = (np.where(inv < 0, hi, lo) - org[i]) * inv
                 t1 = (np.where(inv < 0, lo, hi) - org[i]) * inv
                 tmin = max(0.0, np.nanmax(t0))
                 tmax = min(best_t, np.nanmin(t1) * 1.00000024)
                 if tmin > tmax:
                     continue
-                meta = int(blk[r, 64 + c])
+                meta = int(blk[48 + w])
                 if meta >= 0:
                     stack.append(meta)
                     continue
                 row = leafs[-meta - 1]
-                for ti in range(int(blk[r, 72 + c])):
+                for ti in range(int(blk[64 + w])):
                     p0 = row[9 * ti: 9 * ti + 3].astype(np.float64)
                     p1 = row[9 * ti + 3: 9 * ti + 6].astype(np.float64)
                     p2 = row[9 * ti + 6: 9 * ti + 9].astype(np.float64)
@@ -368,3 +372,28 @@ def test_merge_leafs_occupancy_and_woop_consistency():
         e2 = (tri[2] - p0) @ M.T
         np.testing.assert_allclose(e1, [1, 0, 0], atol=2e-3)
         np.testing.assert_allclose(e2, [0, 1, 0], atol=2e-3)
+
+
+def test_pack_bf16_box_outward_rounding():
+    from nanort_tpu.build.bvh8 import pack_bf16_box, unpack_bf16_box
+
+    rng = np.random.default_rng(11)
+    lo = rng.uniform(-1e6, 1e6, 4096).astype(np.float32)
+    hi = lo + np.abs(rng.uniform(0, 1e3, 4096)).astype(np.float32)
+    plo, phi = unpack_bf16_box(pack_bf16_box(lo, hi))
+    # conservative outward: unpacked always CONTAINS the exact box
+    assert (plo <= lo).all()
+    assert (phi >= hi).all()
+    # within one bf16 ulp (relative 2^-7)
+    assert (lo - plo <= np.abs(lo) * 2 ** -7 + 1e-30).all()
+    assert (phi - hi <= np.abs(hi) * 2 ** -7 + 1e-30).all()
+    # exactly-representable values round to themselves
+    ex = np.asarray([1.5, -2.0, 0.0, 3.0e38, -3.0e38], np.float32)
+    elo, ehi = unpack_bf16_box(pack_bf16_box(ex, ex))
+    exact = np.asarray(ex, np.float32).view(np.uint32) & 0xFFFF == 0
+    np.testing.assert_array_equal(elo[exact], ex[exact])
+    np.testing.assert_array_equal(ehi[exact], ex[exact])
+    # monotonic: ordering survives packing (parent/child containment)
+    s = np.sort(rng.uniform(-10, 10, 1000).astype(np.float32))
+    pl, ph = unpack_bf16_box(pack_bf16_box(s, s))
+    assert (np.diff(pl) >= 0).all() and (np.diff(ph) >= 0).all()
