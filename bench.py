@@ -23,7 +23,14 @@ Env knobs:
   NANORT_BENCH_LEAF   (default 9: 12-lane woop rows hold 9
                        tris; ~11% fewer leaf rows than 8,
                        measured +2.7% same-process)
-  NANORT_BENCH_SUB    (default 32 -> 4096-ray packets)
+  NANORT_BENCH_SUB    (default: 32 -> 4096-ray packets for watertight,
+                       64 for turbo — woop's lower VREG pressure
+                       prefers bigger packets)
+  NANORT_BENCH_WIDTH  (default 16: dense single-row BVH16 nodes — 16
+                       exact f32 child boxes per (1, 128) row, 32 slab
+                       tests per vector->scalar sync with pop_n=2;
+                       bit-exact vs width 8, measured +4.8% watertight
+                       / +29% woop same-process. 8: two-row BVH8.)
   NANORT_BENCH_PATH   ("pallas" | "wavefront", default pallas)
   NANORT_BENCH_ENGINE ("watertight" | "turbo" | "turbo_refit", default
                        watertight: the end-to-end reference-parity
@@ -60,7 +67,7 @@ def main():
     res = int(os.environ.get("NANORT_BENCH_RES", 8192))
     reps = int(os.environ.get("NANORT_BENCH_REPS", 3))
     leaf = int(os.environ.get("NANORT_BENCH_LEAF", 9))
-    sub = int(os.environ.get("NANORT_BENCH_SUB", 32))
+    _sub_env = os.environ.get("NANORT_BENCH_SUB")
     path = os.environ.get("NANORT_BENCH_PATH", "pallas")
 
     from nanort_tpu import BVHBuildOptions, build_triangle_bvh
@@ -104,7 +111,18 @@ def main():
         # (docstring above). "turbo_refit" restores bit-exact per-prim
         # records via an XLA re-intersection pass.
         engine = os.environ.get("NANORT_BENCH_ENGINE", "watertight")
-        s8 = collapse_bvh8(bvh, v, f, woop=engine.startswith("turbo"))
+        # width 16 (default): dense single-row BVH16 nodes — one node
+        # pop fetches ONE (1, 128) row carrying 16 exact f32 child
+        # boxes, doubling slab tests per vector->scalar sync. Records
+        # are BIT-EXACT vs the 8-wide tables (0 prim/t diffs over 67M
+        # rays); measured +4.8% watertight / +29% woop same-process.
+        width = int(os.environ.get("NANORT_BENCH_WIDTH", 16))
+        # packet size: watertight peaks at sub=32 (4096-ray packets),
+        # the woop leaf kernel's lower VREG pressure prefers sub=64
+        sub = int(_sub_env) if _sub_env else (
+            64 if engine.startswith("turbo") else 32)
+        s8 = collapse_bvh8(bvh, v, f, width=width,
+                           woop=engine.startswith("turbo"))
         s8 = s8._replace(
             nodes=jax.device_put(jnp.asarray(s8.nodes)),
             leafs=jax.device_put(jnp.asarray(s8.leafs)),

@@ -208,6 +208,52 @@ def main():
         emit("incoherent_random_mrays_per_s_1mtri", R / min(ts) / 1e6,
              "Mrays/s", engine="treelet_binned", n_treelets=512, K=8)
 
+        # ---- realistic incoherent: AO bounce rays off primary hits,
+        # Morton-sorted, any-hit packets (the workload class behind
+        # BASELINE.md's "realistic AO/PT bounces sort far better") ----
+        from nanort_tpu.traverse.ray_sort import traverse_bvh8_sorted
+        from nanort_tpu.models.objrender import build_onb, face_normals
+        from nanort_tpu.models.objrender import _cosine_hemisphere
+
+        res_b = 1024
+        cam_b = look_at(eye=(0, 0, 2.2), center=(0, 0, 0),
+                        width=res_b, height=res_b, fov=60.0)
+        prim = pinhole_rays(cam_b)
+        rays_p, _ = tile_image_rays(prim, 128, 32)
+        hp = traverse_bvh8(s8i, rays_p, specialize=detect_specialization(
+            rays_p))
+        hitm = hp.prim_id != jnp.uint32(0xFFFFFFFF)
+        S = 4
+        key = jax.random.PRNGKey(3)
+        n = face_normals(mesh, jnp.where(hitm, hp.prim_id, 0).astype(
+            jnp.uint32))
+        x = rays_p.org + rays_p.dir * hp.t[:, None]
+        n = jnp.where((n * rays_p.dir).sum(-1, keepdims=True) > 0, -n, n)
+        t_o, b_o = build_onb(n)
+        local = _cosine_hemisphere(key, (S, n.shape[0]), jnp.float32)
+        wdir = (local[..., 0:1] * t_o + local[..., 1:2] * b_o
+                + local[..., 2:3] * n)
+        borg = jnp.broadcast_to(x + n * 1e-3, (S,) + x.shape).reshape(-1, 3)
+        bdir = wdir.reshape(-1, 3)
+        bmax = jnp.where(jnp.broadcast_to(hitm, (S, hitm.shape[0])
+                                          ).reshape(-1), 0.5, -1.0)
+        brays = make_rays(borg, bdir, max_t=bmax)
+        RB = int(brays.org.shape[0])
+
+        def run_ao():
+            h = traverse_bvh8_sorted(s8i, brays, occlusion=True)
+            return float(h.t.min())
+
+        run_ao()
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_ao()
+            ts.append(time.perf_counter() - t0)
+        emit("incoherent_bounce_mrays_per_s_1mtri", RB / min(ts) / 1e6,
+             "Mrays/s", engine="sorted_packets_anyhit", samples=S,
+             res=res_b)
+
     # ---- 10M tris via HBM scene space ----
     if "tenm" not in SKIP:
         # megabatch at full density: packet traversal cost scales with

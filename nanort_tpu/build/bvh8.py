@@ -54,9 +54,9 @@ class BVH8Scene:
     jitted callers can use them as shape/unroll parameters even when the
     scene itself is a traced argument).
 
-    ``width`` is the node fan-out: 8 (one f32 row per node) or 16 (ONE
-    packed row per node: bf16 box pairs, ``collapse_bvh16``) — the
-    packet kernel fetches one (NR, 128) block per node pop."""
+    ``width`` is the node fan-out: 8 (two f32 rows per node, 86/128
+    lanes live) or 16 (ONE dense f32 row per node, ``collapse_bvh16``)
+    — the packet kernel fetches one (NR, 128) block per node pop."""
 
     nodes: np.ndarray  # (N+1 rows [*2 if unpacked16], 128) f32 (+ dummy)
     leafs: np.ndarray  # (M, 128) f32
@@ -83,39 +83,6 @@ jax.tree_util.register_pytree_node(
         ch[0], ch[1], *aux[:4], leafs_woop=ch[2], width=aux[4]
     ),
 )
-
-
-def pack_bf16_box(lo, hi) -> np.ndarray:
-    """Pack f32 slab bound pairs into ONE f32-bit-pattern lane each:
-    high 16 bits = bf16(lo) rounded toward -inf, low 16 bits = bf16(hi)
-    rounded toward +inf. Rounding is OUTWARD, so the packed box always
-    CONTAINS the exact f32 box: traversal through packed nodes visits a
-    superset of the exact-box visits (~0.4% looser bounds) and every
-    emitted hit record is unchanged. bf16 rounding is monotonic, so
-    parent-contains-child orderings survive packing. Values whose low
-    mantissa bits are already zero round to themselves; magnitudes that
-    saturate round to +-inf, which the slab test treats as an unbounded
-    (still conservative) side."""
-    lo = np.ascontiguousarray(np.asarray(lo, np.float32))
-    hi = np.ascontiguousarray(np.asarray(hi, np.float32))
-    lb = lo.view(np.uint32)
-    hb = hi.view(np.uint32)
-    # toward -inf: truncation moves toward zero, so negative values with
-    # live low bits need one bf16 ulp of extra magnitude
-    lb = np.where((lb & 0xFFFF != 0) & (lb >> 31 == 1), lb + 0x10000, lb)
-    # toward +inf: positive values with live low bits round up
-    hb = np.where((hb & 0xFFFF != 0) & (hb >> 31 == 0), hb + 0x10000, hb)
-    packed = ((lb >> 16) << 16) | (hb >> 16)
-    return packed.astype(np.uint32).view(np.float32)
-
-
-def unpack_bf16_box(lane) -> tuple[np.ndarray, np.ndarray]:
-    """Host-side inverse of :func:`pack_bf16_box` (tests/tools): returns
-    (lo, hi) f32 arrays from packed box lanes."""
-    bits = np.ascontiguousarray(np.asarray(lane, np.float32)).view(np.uint32)
-    lo = (bits & np.uint32(0xFFFF0000)).view(np.float32)
-    hi = (bits << np.uint32(16)).view(np.float32)
-    return lo, hi
 
 
 def _surface_area(bmin, bmax):
@@ -270,12 +237,14 @@ def collapse_bvh8(
     """
     if width not in (8, 16):
         raise ValueError(f"width must be 8 or 16: {width}")
-    # 16-wide nodes use the PACKED single-row layout: 16 children in ONE
-    # (1, 128) row — per child 3 lanes of bf16-packed slab bounds
-    # (pack_bf16_box) at lanes [3w, 3w+3), metas at 48+w, leaf counts at
-    # 64+w, order axis at 80. One node pop = one dynamic row fetch = 16
-    # slab tests per vector->scalar sync at half the VMEM bytes of the
-    # 8-wide layout; outward bf16 rounding keeps records exact.
+    # 16-wide nodes use the DENSE single-row layout: 16 children in ONE
+    # fully-occupied (1, 128) f32 row — child w's exact slab bounds
+    # (lo.xyz, hi.xyz) at lanes [6w, 6w+6), metas at 96+w, leaf counts
+    # at 112+w, and the near-first order axis folded into the child-0
+    # count lane as cnt + 16*axis (every count consumer masks & 15).
+    # One node pop = one dynamic row fetch = 16 slab tests per
+    # vector->scalar sync at HALF the VMEM bytes per child of the 8-wide
+    # layout (which occupies only 86 of 128 lanes).
     packed16 = width == 16
     import time as _time
     _prof = os.environ.get("NANORT_COLLAPSE_PROFILE") == "1"
@@ -350,13 +319,12 @@ def collapse_bvh8(
             cnt[can] += 1
         return ids, cnt
 
-    if packed16:
-        _PE = pack_bf16_box(np.float32(EMPTY_BIG), np.float32(-EMPTY_BIG))
-
     def empty_rows(shape):
         r = np.zeros(shape, np.float32)
         if packed16:
-            r[..., 0:48] = _PE  # inverted bf16 box: lo > hi, never hits
+            for ax in range(3):  # inverted box: lo > hi, never hits
+                r[..., ax:96:6] = EMPTY_BIG
+                r[..., 3 + ax:96:6] = -EMPTY_BIG
         else:
             r[..., 0:64:8] = EMPTY_BIG
             r[..., 1:64:8] = EMPTY_BIG
@@ -370,9 +338,10 @@ def collapse_bvh8(
         # degenerate single-leaf tree: one node with one leaf child
         nodes3 = empty_rows((2, NR, 128))
         if packed16:
-            nodes3[0, 0, 0:3] = pack_bf16_box(bmin[0], bmax[0])
-            nodes3[0, 0, 48] = np.float32(-1.0)  # leaf row 0
-            nodes3[0, 0, 64] = np.float32(data[0, 0])
+            nodes3[0, 0, 0:3] = bmin[0]
+            nodes3[0, 0, 3:6] = bmax[0]
+            nodes3[0, 0, 96] = np.float32(-1.0)  # leaf row 0
+            nodes3[0, 0, 112] = np.float32(data[0, 0])  # axis 0
         else:
             nodes3[0, 0, 0:3] = bmin[0]
             nodes3[0, 0, 3:6] = bmax[0]
@@ -540,18 +509,15 @@ def collapse_bvh8(
             grow2 = grow[take, order2]
 
             rows = empty_rows((n, NR, 128))
-            if packed16:
-                pb = pack_bf16_box(blo, bhi)  # (n, W, 3)
-                for w in range(W):
-                    v = validk[:, w]
-                    rows[v, 0, 3 * w : 3 * w + 3] = pb[v, w]
-            else:
-                for w in range(W):
+            for w in range(W):
+                if packed16:
+                    r, b0 = 0, 6 * w
+                else:
                     r, c = divmod(w, 8)
-                    v = validk[:, w]
-                    rows[v, r, 8 * c : 8 * c + 3] = blo[v, w]
-                    rows[v, r, 8 * c + 3 : 8 * c + 6] = bhi[v, w]
-            rows[:, 0, 80] = axis.astype(np.float32)
+                    b0 = 8 * c
+                v = validk[:, w]
+                rows[v, r, b0 : b0 + 3] = blo[v, w]
+                rows[v, r, b0 + 3 : b0 + 6] = bhi[v, w]
             meta = np.where(is_gleaf, -(grow2 + 1), 0)
             # internal children: next level's BFS NODE ids in row-major
             # order over this level's (node, slot) grid
@@ -560,7 +526,7 @@ def collapse_bvh8(
             meta = np.where(child_int, next_base + int_rank, meta)
             for w in range(W):
                 if packed16:
-                    r, mlane, clane = 0, 48 + w, 64 + w
+                    r, mlane, clane = 0, 96 + w, 112 + w
                 else:
                     r, c = divmod(w, 8)
                     mlane, clane = 64 + c, 72 + c
@@ -570,6 +536,12 @@ def collapse_bvh8(
                 rows[:, r, clane] = np.where(
                     is_gleaf[:, w], gcnt2[:, w], 0.0
                 ).astype(np.float32)
+            if packed16:
+                # order axis rides the child-0 count lane (cnt + 16*axis;
+                # every count consumer masks & 15)
+                rows[:, 0, 112] += 16.0 * axis.astype(np.float32)
+            else:
+                rows[:, 0, 80] = axis.astype(np.float32)
             level_rows.append(rows)
             level_meta.append(meta.astype(np.int64))
             level_isint.append(child_int)
@@ -612,11 +584,8 @@ def collapse_bvh8(
         # recognized by their inverted (never-hit) box, not the meta lane
         for w in range(W):
             if packed16:
-                r, mlane = 0, 48 + w
-                occupied = (
-                    nodes3[:, 0, 3 * w].view(np.uint32)
-                    != _PE.reshape(1).view(np.uint32)[0]
-                )
+                r, mlane = 0, 96 + w
+                occupied = nodes3[:, 0, 6 * w] < EMPTY_BIG
             else:
                 r, c = divmod(w, 8)
                 mlane = 64 + c
@@ -670,15 +639,16 @@ def collapse_bvh8(
 
 
 def collapse_bvh16(bvh: BVH, vertices, faces, **kw) -> BVH8Scene:
-    """16-wide collapse in the PACKED single-row node layout: 16 children
-    in ONE (1, 128) row — per child 3 lanes of bf16-packed slab bounds
-    (:func:`pack_bf16_box`, conservative outward rounding: records stay
-    exact) at lanes [3w, 3w+3), metas at 48+w, leaf counts at 64+w,
-    order axis at lane 80. One node pop = ONE (1, 128) dynamic fetch =
-    16 slab tests per vector->scalar sync (double BVH8's rate, without
-    adding in-flight dynamic fetches — 3+ of those fault the v5e
-    backend; see pallas_packet.py's pop_n clamp) at HALF the VMEM bytes
-    per child of the 8-wide f32 layout."""
+    """16-wide collapse in the DENSE single-row node layout: 16 children
+    in ONE fully-occupied (1, 128) f32 row — child w's exact slab
+    bounds at lanes [6w, 6w+6), metas at 96+w, leaf counts at 112+w,
+    near-first order axis folded into the child-0 count lane as
+    cnt + 16*axis (count consumers mask & 15). One node pop = ONE
+    (1, 128) dynamic fetch = 16 slab tests per vector->scalar sync
+    (double BVH8's rate, without adding in-flight dynamic fetches — 3+
+    of those fault the v5e backend; see pallas_packet.py's pop_n clamp)
+    at HALF the VMEM bytes per child of the 8-wide layout, which
+    occupies only 86 of 128 lanes."""
     return collapse_bvh8(bvh, vertices, faces, width=16, **kw)
 
 

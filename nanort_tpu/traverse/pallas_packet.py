@@ -409,8 +409,9 @@ def _kernel_body(
         leafq_ref[60] = 0  # node pops (slack SMEM slots as counters,
         leafq_ref[61] = 0  # leaf drains — above any reachable queue index)
 
-    # 16-wide nodes use the packed single-row layout (collapse_bvh16):
-    # bf16 box pairs at lanes [3w, 3w+3), metas 48+w, counts 64+w
+    # 16-wide nodes use the dense single-row layout (collapse_bvh16):
+    # exact f32 boxes at lanes [6w, 6w+6), metas 96+w, counts 112+w
+    # (order axis folded into the child-0 count lane as cnt + 16*axis)
     packed16 = width == 16
     NR = 1 if packed16 else width // 8  # rows per node
     if nodes_hi_ref is not None:  # park node: empty boxes never hit
@@ -441,16 +442,6 @@ def _kernel_body(
             return jnp.where(idx < n_node_lo, rlo, rhi)
         return nodes_ref[pl.ds(idx * NR, NR), :]  # (NR, 128)
 
-    MASK_HI = jnp.int32(-65536)  # 0xFFFF0000: bf16(lo) rides the high half
-
-    def _unpack_pair(v):
-        """Packed bf16 (lo, hi) slab bounds from one f32 lane value: two
-        scalar-unit bit ops each (bf16 -> f32 is a 16-bit shift)."""
-        bits = jax.lax.bitcast_convert_type(v, jnp.int32)
-        lo = jax.lax.bitcast_convert_type(bits & MASK_HI, jnp.float32)
-        hi = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
-        return lo, hi
-
     def _slab8(rowblk, t_b, base):
         """Slab-test all ``width`` children of one node block (NR, 128);
         returns their hit bits ORed at ``base``."""
@@ -458,9 +449,10 @@ def _kernel_body(
         for w in range(width):
             if packed16:
                 row = rowblk[0:1]
-                b0x, b1x = _unpack_pair(row[0, 3 * w])
-                b0y, b1y = _unpack_pair(row[0, 3 * w + 1])
-                b0z, b1z = _unpack_pair(row[0, 3 * w + 2])
+                b0x, b0y, b0z = (row[0, 6 * w], row[0, 6 * w + 1],
+                                 row[0, 6 * w + 2])
+                b1x, b1y, b1z = (row[0, 6 * w + 3], row[0, 6 * w + 4],
+                                 row[0, 6 * w + 5])
             else:
                 rr, cc = divmod(w, 8)
                 row = rowblk[rr : rr + 1]
@@ -507,21 +499,29 @@ def _kernel_body(
         # along the node's order axis (bvh8.py lane 80); LIFO stack means
         # push far-first, so iterate descending for positive direction
         # and ascending for negative.
-        axis_f = rowblk[0, 80]
-        neg = jnp.where(
-            axis_f == 0.0, neg_ax[0],
-            jnp.where(axis_f == 1.0, neg_ax[1], neg_ax[2]),
-        )
+        if packed16:
+            # order axis folded into the child-0 count lane: cnt + 16*axis
+            v112 = rowblk[0, 112]
+            neg = jnp.where(
+                v112 >= 32.0, neg_ax[2],
+                jnp.where(v112 >= 16.0, neg_ax[1], neg_ax[0]),
+            )
+        else:
+            axis_f = rowblk[0, 80]
+            neg = jnp.where(
+                axis_f == 0.0, neg_ax[0],
+                jnp.where(axis_f == 1.0, neg_ax[1], neg_ax[2]),
+            )
         for j in range(width):
             jd = width - 1 - j
             cc = jnp.where(neg, j, jd)
             bit = (mask >> (base + cc)) & 1
             if packed16:
                 meta = jnp.where(
-                    neg, rowblk[0, 48 + j], rowblk[0, 48 + jd]
+                    neg, rowblk[0, 96 + j], rowblk[0, 96 + jd]
                 ).astype(jnp.int32)
                 cnt = jnp.where(
-                    neg, rowblk[0, 64 + j], rowblk[0, 64 + jd]
+                    neg, rowblk[0, 112 + j], rowblk[0, 112 + jd]
                 ).astype(jnp.int32)
             else:
                 ra, ca = divmod(j, 8)

@@ -28,6 +28,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.aabb import intersect_ray_aabb
 from ..core.math import safe_inverse
@@ -212,8 +213,9 @@ def _auto_max_stack(bvh) -> int:
         return hit[1]
     try:
         need = required_max_stack(bvh)
-    except Exception:  # traced arrays inside jit/shard_map
-        return 512
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        return 512  # traced arrays inside jit/shard_map
     if len(_STACK_SIZE_MEMO) > 16:
         _STACK_SIZE_MEMO.clear()
     _STACK_SIZE_MEMO[key] = (bvh.flag, need)
@@ -236,8 +238,9 @@ def _actual_max_leaf(bvh) -> int | None:
         data = np.asarray(bvh.data)
         leaf = flag == 1
         need = int(data[leaf, 0].max()) if leaf.any() else 0
-    except Exception:  # traced arrays inside jit/shard_map
-        return None
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        return None  # traced arrays inside jit/shard_map
     if len(_LEAF_COUNT_MEMO) > 16:
         _LEAF_COUNT_MEMO.clear()
     _LEAF_COUNT_MEMO[key] = (bvh.flag, need)

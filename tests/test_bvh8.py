@@ -174,14 +174,12 @@ def test_woop_degenerate_triangle_never_hits():
     np.testing.assert_array_equal(M, 0.0)
 
 
-# ---- 16-wide collapse (packed single-row nodes: bf16 box pairs at
-# lanes [3w, 3w+3), metas 48+w, counts 64+w) ----
+# ---- 16-wide collapse (dense single-row nodes: exact f32 boxes at
+# lanes [6w, 6w+6), metas 96+w, counts 112+w with axis*16 folded into
+# the child-0 count lane) ----
 
 def _unpack16(blk, w):
-    from nanort_tpu.build.bvh8 import unpack_bf16_box
-
-    lo, hi = unpack_bf16_box(blk[3 * w: 3 * w + 3])
-    return lo, hi
+    return blk[6 * w: 6 * w + 3], blk[6 * w + 3: 6 * w + 6]
 
 
 def _walk16(nodes, root=0):
@@ -195,8 +193,8 @@ def _walk16(nodes, root=0):
             lo, hi = _unpack16(blk, w)
             if lo[0] > hi[0]:  # inverted box: empty slot
                 continue
-            meta = int(blk[48 + w])
-            cnt = int(blk[64 + w])
+            meta = int(blk[96 + w])
+            cnt = int(blk[112 + w]) & 15
             yield nid, lo, hi, meta, cnt
             if meta >= 0:
                 stack.append(meta)
@@ -225,9 +223,8 @@ def test_collapse16_covers_all_prims_and_bounds():
                 assert (tri.max(0) <= hi + 1e-4).all()
     assert sorted(pids) == list(range(len(f)))
 
-    # internal child boxes contain their node's own children (bf16
-    # rounding is monotonic outward, so containment is exact in packed
-    # space: no epsilon needed)
+    # internal child boxes contain their node's own children (exact f32
+    # boxes in the dense layout: no epsilon needed)
     boxes = {}  # node id -> (lo, hi) as promised by the parent
     for nid, lo, hi, meta, cnt in _walk16(s16.nodes):
         if meta >= 0:
@@ -284,12 +281,12 @@ def test_collapse16_traversal_matches_brute_force():
                 tmax = min(best_t, np.nanmin(t1) * 1.00000024)
                 if tmin > tmax:
                     continue
-                meta = int(blk[48 + w])
+                meta = int(blk[96 + w])
                 if meta >= 0:
                     stack.append(meta)
                     continue
                 row = leafs[-meta - 1]
-                for ti in range(int(blk[64 + w])):
+                for ti in range(int(blk[112 + w]) & 15):
                     p0 = row[9 * ti: 9 * ti + 3].astype(np.float64)
                     p1 = row[9 * ti + 3: 9 * ti + 6].astype(np.float64)
                     p2 = row[9 * ti + 6: 9 * ti + 9].astype(np.float64)
@@ -374,26 +371,13 @@ def test_merge_leafs_occupancy_and_woop_consistency():
         np.testing.assert_allclose(e2, [0, 1, 0], atol=2e-3)
 
 
-def test_pack_bf16_box_outward_rounding():
-    from nanort_tpu.build.bvh8 import pack_bf16_box, unpack_bf16_box
-
-    rng = np.random.default_rng(11)
-    lo = rng.uniform(-1e6, 1e6, 4096).astype(np.float32)
-    hi = lo + np.abs(rng.uniform(0, 1e3, 4096)).astype(np.float32)
-    plo, phi = unpack_bf16_box(pack_bf16_box(lo, hi))
-    # conservative outward: unpacked always CONTAINS the exact box
-    assert (plo <= lo).all()
-    assert (phi >= hi).all()
-    # within one bf16 ulp (relative 2^-7)
-    assert (lo - plo <= np.abs(lo) * 2 ** -7 + 1e-30).all()
-    assert (phi - hi <= np.abs(hi) * 2 ** -7 + 1e-30).all()
-    # exactly-representable values round to themselves
-    ex = np.asarray([1.5, -2.0, 0.0, 3.0e38, -3.0e38], np.float32)
-    elo, ehi = unpack_bf16_box(pack_bf16_box(ex, ex))
-    exact = np.asarray(ex, np.float32).view(np.uint32) & 0xFFFF == 0
-    np.testing.assert_array_equal(elo[exact], ex[exact])
-    np.testing.assert_array_equal(ehi[exact], ex[exact])
-    # monotonic: ordering survives packing (parent/child containment)
-    s = np.sort(rng.uniform(-10, 10, 1000).astype(np.float32))
-    pl, ph = unpack_bf16_box(pack_bf16_box(s, s))
-    assert (np.diff(pl) >= 0).all() and (np.diff(ph) >= 0).all()
+def test_dense16_axis_folding_roundtrip():
+    """The dense BVH16 layout folds the near-first order axis into the
+    child-0 count lane as cnt + 16*axis; every count consumer masks
+    & 15 and the axis decodes by >= 16/32 thresholds."""
+    for axis in range(3):
+        for cnt in range(10):
+            lane = np.float32(cnt + 16 * axis)
+            got_axis = 2 if lane >= 32 else (1 if lane >= 16 else 0)
+            assert got_axis == axis
+            assert int(lane) & 15 == cnt
