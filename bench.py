@@ -131,7 +131,11 @@ def main():
                 if s8.leafs_woop is not None else None
             ),
         )
-        tile_h = int(os.environ.get("NANORT_BENCH_TILE_H", 128))  # 128x64 pixel tiles: best measured packet footprint
+        # measured-best pixel tiles: watertight 128x64 @ sub32; woop
+        # 256x64 @ sub64 (164.5 vs 153.9 Mrays/s same-session)
+        tile_h = int(os.environ.get(
+            "NANORT_BENCH_TILE_H",
+            256 if engine.startswith("turbo") else 128))
         tile_w = min((8 * sub * 32) // tile_h, res)
         rays_t, _ = tile_image_rays(rays, min(tile_h, res), tile_w)
         # bit-exact batch specializations (one-time device check): camera

@@ -71,37 +71,44 @@ def main():
         res = 8192
         v, f = make_subdivided_sphere_scene(1_000_000)
         mesh = TriangleMesh(vertices=v, faces=f)
+        opt9 = BVHBuildOptions(min_leaf_primitives=9, max_leaf_primitives=9)
         t0 = time.perf_counter()
-        bvh, _ = build_triangle_bvh(mesh, opt8)
+        bvh, _ = build_triangle_bvh(mesh, opt9)
         build_s = time.perf_counter() - t0
         emit("sah_build_1mtri", len(f) / build_s / 1e6, "Mtris/s")
-        s8 = collapse_bvh8(bvh, v, f, woop=True)
-        s8 = s8._replace(
-            nodes=jax.device_put(jnp.asarray(s8.nodes)),
-            leafs=jax.device_put(jnp.asarray(s8.leafs)),
-            leafs_woop=jax.device_put(jnp.asarray(s8.leafs_woop)),
+        # bench.py's measured-best recipe: dense BVH16 tables (bit-exact
+        # vs BVH8), watertight sub=32 @ 128x64 tiles, woop sub=64 @
+        # 256x64 tiles
+        s16 = collapse_bvh8(bvh, v, f, width=16, woop=True)
+        s16 = s16._replace(
+            nodes=jax.device_put(jnp.asarray(s16.nodes)),
+            leafs=jax.device_put(jnp.asarray(s16.leafs)),
+            leafs_woop=jax.device_put(jnp.asarray(s16.leafs_woop)),
         )
         cam = look_at(eye=(0, 0, 2.2), center=(0, 0, 0),
                       width=res, height=res, fov=60.0)
-        rays_t, _ = tile_image_rays(pinhole_rays(cam), 128, 64)
-        spec = detect_specialization(rays_t)
-        for engine, kw in (
-            ("turbo", dict(intersector="woop",
-                           specialize=(None, spec[1]) if spec else None)),
-            ("watertight", dict(specialize=spec)),
+        rays = pinhole_rays(cam)
+        for engine, sub, tile, woop in (
+            ("turbo", 64, (256, 64), True),
+            ("watertight", 32, (128, 64), False),
         ):
-            h = traverse_bvh8(s8, rays_t, **kw)
+            rays_t, _ = tile_image_rays(rays, *tile)
+            spec = detect_specialization(rays_t)
+            kw = dict(intersector="woop", sub=sub,
+                      specialize=(None, spec[1]) if spec else None) \
+                if woop else dict(sub=sub, specialize=spec)
+            h = traverse_bvh8(s16, rays_t, **kw)
             float(h.t.min())
             ts = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                h = traverse_bvh8(s8, rays_t, **kw)
+                h = traverse_bvh8(s16, rays_t, **kw)
                 float(h.t.min())
                 ts.append(time.perf_counter() - t0)
             mr = res * res / min(ts) / 1e6
             emit(f"coherent_primary_mrays_per_s_1mtri_{engine}", mr,
                  "Mrays/s", vs_north_star=round(mr / 200, 3))
-        del s8, bvh, mesh
+        del s16, bvh, mesh
 
     # ---- config A: objrender 512^2 AOVs + AO ----
     if "config_a" not in SKIP:

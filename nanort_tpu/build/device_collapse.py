@@ -1,0 +1,385 @@
+"""Fully device-side scene build: LBVH topology -> BVH8/16 packet tables
+without a single host-side pass over the primitives.
+
+The reference builds on the CPU (nanort.h:1997-2073, a thread pool over
+subtrees) and its "~10M triangles efficiently" claim (README.md:19) is
+bounded by host memory bandwidth. The TPU-native answer keeps the whole
+pipeline on the accelerator: Morton codes + Karras'12 topology (reused
+from build/lbvh.py), then a data-parallel wide collapse that emits the
+exact packet-kernel table format of build/bvh8.py — so `traverse_bvh8`
+consumes the result unchanged. The host never materializes the tree:
+only two scalar counts are read back between the two jitted phases
+(XLA needs static output shapes; the tables are bucket-padded to
+powers of two so each scene size compiles at most once per bucket).
+
+Wide collapse, data-parallel formulation: instead of the host builder's
+greedy surface-area cuts (bvh8.py:cut8_batch, inherently sequential per
+node), wide nodes are the kept binary nodes at depth % K == 0
+(K = log2(width)); each wide node's children are the K-level frontier
+of its binary subtree — ≤ 2^K = width children by construction. Every
+kept binary node finds its owning wide node with ≤ K-1 pointer jumps,
+every collapsed binary leaf attaches to its ancestor's wide node, and
+slot order within a node is a (parent, centroid-along-axis) device
+sort, preserving the packet kernel's near-first ordered traversal.
+
+Tree quality is LBVH-grade (~10-30% more node visits than binned SAH —
+the known tradeoff); use the native SAH builder + host collapse when
+build time is amortized, and this path when it isn't (huge scenes,
+generated-on-device geometry, interactive rebuilds).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bvh8 import BVH8Scene, EMPTY_BIG, MAX_LEAF_TRIS
+from .lbvh import MAX_DEPTH, _karras_topology, morton_codes
+
+_I32MAX = np.int32(2**31 - 1)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (int(x) - 1).bit_length())
+
+
+@functools.partial(jax.jit, static_argnames=("n", "max_leaf", "K"))
+def _phase_a(vertices, faces, n: int, max_leaf: int, K: int):
+    """Topology + child records, sorted by (wide parent, slot order).
+
+    Returns per-record arrays of static length 3*(n-1) (internal, left
+    leaf, right leaf banks; invalid records sort to the end) plus the
+    scalar counts the host must read to size phase B's static tables.
+    """
+    i32 = jnp.int32
+    v0 = jnp.take(vertices, faces[:, 0], axis=0)
+    v1 = jnp.take(vertices, faces[:, 1], axis=0)
+    v2 = jnp.take(vertices, faces[:, 2], axis=0)
+    prim_lo = jnp.minimum(jnp.minimum(v0, v1), v2)
+    prim_hi = jnp.maximum(jnp.maximum(v0, v1), v2)
+    centers = 0.5 * (prim_lo + prim_hi)
+    scene_lo = prim_lo.min(axis=0)
+    scene_hi = prim_hi.max(axis=0)
+
+    codes = morton_codes(centers, scene_lo, scene_hi)
+    order = jnp.argsort(codes).astype(i32)
+    codes = jnp.take(codes, order)
+    first, last, split = _karras_topology(codes, n)
+    ni = n - 1
+    iar = jnp.arange(ni, dtype=i32)
+
+    size = last - first + 1
+    l_size = split - first + 1
+    r_size = last - split
+    l_leaf = l_size <= max_leaf
+    r_leaf = r_size <= max_leaf
+    keep = size > max_leaf
+    l_child, r_child = split, split + 1
+    okl = keep & ~l_leaf  # left child is a kept internal node
+    okr = keep & ~r_leaf
+
+    # ---- bboxes (as in lbvh: leaf ranges unrolled, internal refit) ----
+    sorted_lo = jnp.take(prim_lo, order, axis=0)
+    sorted_hi = jnp.take(prim_hi, order, axis=0)
+
+    def range_bbox(a, count):
+        lo = jnp.take(sorted_lo, a, axis=0)
+        hi = jnp.take(sorted_hi, a, axis=0)
+        for k in range(1, max_leaf):
+            valid = k < count
+            g = jnp.minimum(a + k, n - 1)
+            lo = jnp.where(valid[:, None],
+                           jnp.minimum(lo, jnp.take(sorted_lo, g, axis=0)),
+                           lo)
+            hi = jnp.where(valid[:, None],
+                           jnp.maximum(hi, jnp.take(sorted_hi, g, axis=0)),
+                           hi)
+        return lo, hi
+
+    lf_lo, lf_hi = range_bbox(first, l_size)
+    rf_lo, rf_hi = range_bbox(r_child, r_size)
+
+    node_lo = jnp.full((ni, 3), EMPTY_BIG, jnp.float32)
+    node_hi = jnp.full((ni, 3), -EMPTY_BIG, jnp.float32)
+
+    def refit(st):
+        lo, hi, _, it = st
+        llo = jnp.where(l_leaf[:, None], lf_lo, jnp.take(lo, l_child, axis=0))
+        lhi = jnp.where(l_leaf[:, None], lf_hi, jnp.take(hi, l_child, axis=0))
+        rlo = jnp.where(r_leaf[:, None], rf_lo, jnp.take(lo, r_child, axis=0))
+        rhi = jnp.where(r_leaf[:, None], rf_hi, jnp.take(hi, r_child, axis=0))
+        nlo = jnp.minimum(llo, rlo)
+        nhi = jnp.maximum(lhi, rhi)
+        done = jnp.all(nlo == lo) & jnp.all(nhi == hi)
+        return nlo, nhi, done, it + 1
+
+    # fixpoint in ACTUAL tree depth iterations (a fori to MAX_DEPTH paid
+    # 2x the typical depth in gathers — the dominant build cost at 10M)
+    node_lo, node_hi, _, _ = jax.lax.while_loop(
+        lambda st: (~st[2]) & (st[3] < MAX_DEPTH), refit,
+        (node_lo, node_hi, jnp.bool_(False), jnp.int32(0)))
+    axis_i = jnp.argmax(node_hi - node_lo, axis=1).astype(i32)
+
+    # ---- parent pointers + depth over the KEPT tree ----
+    par = jnp.zeros(ni, i32)  # root's parent = itself (jump fixpoint)
+    par = par.at[jnp.where(okl, l_child, ni)].set(
+        jnp.where(okl, iar, 0), mode="drop")
+    par = par.at[jnp.where(okr, r_child, ni)].set(
+        jnp.where(okr, iar, 0), mode="drop")
+    # depth by pointer doubling over parent links: log2(MAX_DEPTH)
+    # rounds instead of MAX_DEPTH scatter passes. par[0] == 0 (root
+    # self-loop) terminates every chain; non-kept entries read garbage
+    # but are never consumed downstream (wroot/anc gate on `keep`).
+    depth = jnp.where(iar == 0, 0, 1).astype(i32)
+    jmp = par
+    for _ in range(MAX_DEPTH.bit_length()):
+        depth = depth + jnp.take(depth, jmp)
+        jmp = jnp.take(jmp, jmp)
+
+    # ---- wide roots: kept nodes at depth % K == 0 ----
+    wroot = keep & (depth % K == 0)
+    rem = depth % K
+    anc = iar  # wide ancestor: jump up (depth % K) parents
+
+    def up(j, a):
+        return jnp.where(j < rem, jnp.take(par, a), a)
+
+    anc = jax.lax.fori_loop(0, K - 1, up, anc)
+    # wide parent of a wide root = its parent's wide ancestor (the
+    # parent sits at depth ≡ K-1, so its own chain tops K levels up)
+    anc_up = jnp.take(anc, par)
+
+    # BFS-ordered wide ids: (level, first) is unique per wide root
+    # (same-depth nodes have disjoint ranges)
+    wkey = jnp.where(wroot, (depth // K) * i32(n) + first, _I32MAX)
+    worder = jnp.argsort(wkey).astype(i32)
+    wrank = jnp.zeros(ni, i32).at[worder].set(iar)
+    nw = wroot.sum()
+
+    # ---- child records: 3 banks of length ni each ----
+    def center_key(lo, hi, pax):
+        # slot-order key: centroid along the parent's axis, shifted
+        # non-negative so f32 bits order as int32
+        c = 0.5 * (lo + hi)
+        ck = jnp.take_along_axis(c, pax[:, None], axis=1)[:, 0]
+        base = jnp.take(scene_lo, pax)
+        return jax.lax.bitcast_convert_type(
+            jnp.maximum(ck - base, 0.0).astype(jnp.float32), i32)
+
+    # internal bank: every wide root except the binary root
+    val_i = wroot & (iar != 0)
+    pax_i = jnp.take(axis_i, anc_up)
+    bank_i = dict(
+        par=jnp.where(val_i, jnp.take(wrank, anc_up), _I32MAX),
+        key=center_key(node_lo, node_hi, pax_i),
+        meta=jnp.take(wrank, iar),
+        cnt=jnp.zeros(ni, i32),
+        a=jnp.zeros(ni, i32),
+        leaf=jnp.zeros(ni, i32),
+        lo=node_lo, hi=node_hi,
+    )
+    # left / right collapsed-leaf banks
+    val_l = keep & l_leaf
+    pax_l = jnp.take(axis_i, anc)
+    bank_l = dict(
+        par=jnp.where(val_l, jnp.take(wrank, anc), _I32MAX),
+        key=center_key(lf_lo, lf_hi, pax_l),
+        meta=jnp.zeros(ni, i32),
+        cnt=l_size, a=first, leaf=val_l.astype(i32),
+        lo=lf_lo, hi=lf_hi,
+    )
+    val_r = keep & r_leaf
+    bank_r = dict(
+        par=jnp.where(val_r, jnp.take(wrank, anc), _I32MAX),
+        key=center_key(rf_lo, rf_hi, pax_l),
+        meta=jnp.zeros(ni, i32),
+        cnt=r_size, a=r_child, leaf=val_r.astype(i32),
+        lo=rf_lo, hi=rf_hi,
+    )
+
+    def cat(f):
+        return jnp.concatenate([bank_i[f], bank_l[f], bank_r[f]])
+
+    rp, rk = cat("par"), cat("key")
+    # lexsort by (parent, center key) as two stable argsorts + payload
+    # gathers — a 12-operand variadic sort drags every payload through
+    # the whole sorting network (~2x the records' bytes per stage)
+    idx1 = jnp.argsort(rk, stable=True)
+    perm = jnp.take(idx1, jnp.argsort(jnp.take(rp, idx1), stable=True))
+    sp = jnp.take(rp, perm)
+    s_meta = jnp.take(cat("meta"), perm)
+    s_cnt = jnp.take(cat("cnt"), perm)
+    s_a = jnp.take(cat("a"), perm)
+    s_leaf = jnp.take(cat("leaf"), perm)
+    rlo, rhi = cat("lo"), cat("hi")
+    slo0, slo1, slo2 = (jnp.take(rlo[:, k], perm) for k in range(3))
+    shi0, shi1, shi2 = (jnp.take(rhi[:, k], perm) for k in range(3))
+    leaf_rank = jnp.cumsum(s_leaf) - s_leaf
+    n_rows = s_leaf.sum()
+    s_meta = jnp.where(s_leaf == 1, -(leaf_rank + 1), s_meta)
+
+    wide_depth = jnp.where(wroot, depth, 0).max() // K + 1
+    node_axis = jnp.take(axis_i, worder)  # by output node id
+    return (order, sp, s_meta, s_cnt, s_a, s_leaf, leaf_rank,
+            (slo0, slo1, slo2, shi0, shi1, shi2), node_axis,
+            nw, n_rows, wide_depth)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "width", "max_leaf", "nw_pad", "nrows_pad"))
+def _phase_b(vertices, faces, order, sp, s_meta, s_cnt, s_a, s_leaf,
+             leaf_rank, sboxes, node_axis,
+             n: int, width: int, max_leaf: int,
+             nw_pad: int, nrows_pad: int):
+    """Static-shape table fill: gather child records into node rows,
+    gather morton-ordered triangles into leaf rows. No scatters touch
+    the tables — every write is a full column (the sort in phase A
+    already grouped records by destination node)."""
+    i32 = jnp.int32
+    f32 = jnp.float32
+    slo0, slo1, slo2, shi0, shi1, shi2 = sboxes
+    nrec = sp.shape[0]
+    W = width
+    NR = 1 if W == 16 else W // 8
+
+    seg = jnp.searchsorted(sp, jnp.arange(nw_pad + 1, dtype=i32)).astype(i32)
+
+    # empty node pattern: inverted boxes in every slot
+    empty = np.zeros((NR, 128), np.float32)
+    if W == 16:
+        for ax in range(3):
+            empty[0, ax:96:6] = EMPTY_BIG
+            empty[0, 3 + ax:96:6] = -EMPTY_BIG
+    else:
+        for r in range(NR):
+            empty[r, 0:64:8] = EMPTY_BIG
+            empty[r, 1:64:8] = EMPTY_BIG
+            empty[r, 2:64:8] = EMPTY_BIG
+            empty[r, 3:64:8] = -EMPTY_BIG
+            empty[r, 4:64:8] = -EMPTY_BIG
+            empty[r, 5:64:8] = -EMPTY_BIG
+    nodes = jnp.broadcast_to(
+        jnp.asarray(empty), (nw_pad, NR, 128)).reshape(nw_pad, NR * 128)
+
+    axis_f = node_axis[:nw_pad].astype(f32) if node_axis.shape[0] >= nw_pad \
+        else jnp.pad(node_axis, (0, nw_pad - node_axis.shape[0])).astype(f32)
+
+    for s in range(W):
+        idx = seg[:-1] + s
+        valid = idx < seg[1:]
+        idxc = jnp.clip(idx, 0, nrec - 1)
+        comps = [jnp.take(x, idxc) for x in
+                 (slo0, slo1, slo2, shi0, shi1, shi2)]
+        meta = jnp.take(s_meta, idxc).astype(f32)
+        cnt = jnp.take(s_cnt, idxc).astype(f32)
+        if W == 16:
+            box_lanes = [6 * s + k for k in range(6)]
+            meta_lane, cnt_lane = 96 + s, 112 + s
+        else:
+            r, c = divmod(s, 8)
+            box_lanes = [r * 128 + 8 * c + k for k in range(6)]
+            meta_lane, cnt_lane = r * 128 + 64 + c, r * 128 + 72 + c
+        for k, lane in enumerate(box_lanes):
+            fill = EMPTY_BIG if k < 3 else -EMPTY_BIG
+            nodes = nodes.at[:, lane].set(
+                jnp.where(valid, comps[k], f32(fill)))
+        if W == 16 and s == 0:
+            # order axis rides the child-0 count lane (cnt + 16*axis)
+            cnt = cnt + 16.0 * axis_f
+        nodes = nodes.at[:, meta_lane].set(jnp.where(valid, meta, 0.0))
+        nodes = nodes.at[:, cnt_lane].set(jnp.where(valid, cnt, 0.0))
+    if W != 16:
+        nodes = nodes.at[:, 80].set(axis_f)
+    nodes = nodes.reshape(nw_pad * NR, 128)
+
+    # ---- leaf rows: pure gathers (row id == leaf record rank) ----
+    A = jnp.zeros(nrows_pad, i32).at[
+        jnp.where(s_leaf == 1, leaf_rank, nrows_pad)].set(
+        jnp.where(s_leaf == 1, s_a, 0), mode="drop")
+    leafs = jnp.zeros((nrows_pad, 128), f32)
+    for t in range(max_leaf):
+        src = jnp.clip(A + t, 0, n - 1)
+        prim = jnp.take(order, src)
+        f3 = jnp.take(faces, prim, axis=0)
+        for vdx in range(3):
+            vv = jnp.take(vertices, f3[:, vdx], axis=0)
+            for k in range(3):
+                leafs = leafs.at[:, 9 * t + 3 * vdx + k].set(vv[:, k])
+        leafs = leafs.at[:, 90 + t].set(prim.astype(f32))
+    return nodes, leafs
+
+
+def collapse_lbvh_device(
+    vertices,
+    faces,
+    width: int = 16,
+    max_leaf: int = 9,
+) -> BVH8Scene:
+    """One-call device-side scene build: triangles in, packet-kernel
+    BVH tables out, everything on the accelerator (two scalar count
+    readbacks between the jitted phases). Tables are bucket-padded to
+    powers of two — the trailing pad node doubles as the kernel's park
+    row (empty boxes never hit)."""
+    if width not in (8, 16):
+        raise ValueError(f"width must be 8 or 16: {width}")
+    if not 1 <= max_leaf <= min(MAX_LEAF_TRIS, 15):
+        raise ValueError(f"max_leaf must be in [1, 15]: {max_leaf}")
+    vertices = jnp.asarray(vertices, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    n = int(faces.shape[0])
+    if n > (1 << 24):
+        raise ValueError("BVH8 float-int lanes are exact to 2^24 prims")
+    NR = 1 if width == 16 else width // 8
+    K = 4 if width == 16 else 3
+
+    if n == 0:
+        raise ValueError("no primitives")
+    if n <= max_leaf:
+        # tiny scene: one node, one leaf row (host-assembled)
+        v = np.asarray(vertices)
+        f = np.asarray(faces)
+        lo = v[f].min(axis=(0, 1))
+        hi = v[f].max(axis=(0, 1))
+        nodes = np.zeros((2 * NR, 128), np.float32)
+        if width == 16:
+            for ax in range(3):
+                nodes[0::NR, ax:96:6] = EMPTY_BIG
+                nodes[0::NR, 3 + ax:96:6] = -EMPTY_BIG
+            nodes[0, 0:3], nodes[0, 3:6] = lo, hi
+            nodes[0, 96] = -1.0
+            nodes[0, 112] = float(n)
+        else:
+            for r in range(2 * NR):
+                for k in range(3):
+                    nodes[r, k:64:8] = EMPTY_BIG
+                    nodes[r, 3 + k:64:8] = -EMPTY_BIG
+            nodes[0, 0:3], nodes[0, 3:6] = lo, hi
+            nodes[0, 64] = -1.0
+            nodes[0, 72] = float(n)
+        leafs = np.zeros((1, 128), np.float32)
+        for t in range(n):
+            leafs[0, 9 * t: 9 * t + 9] = v[f[t]].reshape(-1)
+            leafs[0, 90 + t] = float(t)
+        return BVH8Scene(
+            nodes=jnp.asarray(nodes), leafs=jnp.asarray(leafs),
+            num_nodes=1, num_leaf_rows=1, depth=1, max_leaf=n,
+            width=width)
+
+    (order, sp, s_meta, s_cnt, s_a, s_leaf, leaf_rank, sboxes,
+     node_axis, nw, n_rows, wide_depth) = _phase_a(
+        vertices, faces, n=n, max_leaf=max_leaf, K=K)
+    nw_i, nrows_i, depth_i = int(nw), int(n_rows), int(wide_depth)
+    nw_pad = _next_pow2(nw_i + 1)  # +1: trailing pad node = park row
+    nrows_pad = _next_pow2(max(nrows_i, 1))
+    nodes, leafs = _phase_b(
+        vertices, faces, order, sp, s_meta, s_cnt, s_a, s_leaf,
+        leaf_rank, sboxes, node_axis,
+        n=n, width=width, max_leaf=max_leaf,
+        nw_pad=nw_pad, nrows_pad=nrows_pad)
+    return BVH8Scene(
+        nodes=nodes, leafs=leafs, num_nodes=nw_i, num_leaf_rows=nrows_i,
+        depth=depth_i, max_leaf=max_leaf, width=width)
