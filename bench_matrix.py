@@ -163,14 +163,19 @@ def main():
         rays = pinhole_rays(cam)
         key = jax.random.PRNGKey(3)
 
+        # spp advances in megabatches (25 spp x 262K pixels = 6.55M-ray
+        # bounce rounds); warm with ONE megabatch of the SAME shape or
+        # the timed run eats the remote Pallas compile (~40s+)
+        batch = 25
+
         def run_b(n):
             img = render_path_traced(pts, rays, key, spp=n, max_bounces=10,
-                                     tile=16384)
+                                     tile=16384, spp_batch=batch)
             return readback(img.mean())
 
         t0 = time.perf_counter()
-        run_b(1)
-        print(f"# config_b first (1 spp) {time.perf_counter()-t0:.0f}s",
+        run_b(batch)
+        print(f"# config_b first ({batch} spp) {time.perf_counter()-t0:.0f}s",
               file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         run_b(spp)
