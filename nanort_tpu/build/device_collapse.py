@@ -46,6 +46,102 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (int(x) - 1).bit_length())
 
 
+def _make_range_minmax(sorted_lo, sorted_hi, n: int):
+    """Exact (lo, hi) bbox over any index range of the Morton-sorted
+    prim boxes, as O(1) gathers from two-tier sparse min-tables.
+
+    Replaces the O(depth) refit fixpoint (26 full-tree gather rounds at
+    10M tris = 14.1 s) and the unrolled leaf-range scan (5.0 s) with a
+    couple of row gathers per query. min/max are associative, so the
+    values are bit-identical to the sequential reduction.
+
+    Tier 1 ("small", ranges of length <= B): classic sparse table on the
+    full array, levels 0..log2(B), flattened so a per-node level rides
+    the gather index. Tier 2 (longer ranges): per-block suffix/prefix
+    mins + a sparse table over block mins. hi rides the same tables
+    negated (range max == -range-min of -x).
+    """
+    f32 = jnp.float32
+    i32 = jnp.int32
+    BIG = jnp.asarray(EMPTY_BIG, f32)
+    m = jnp.concatenate([sorted_lo, -sorted_hi], axis=1)  # (n, 6)
+
+    # small tier covers len <= 2*B exactly (len in (B, 2B] uses the two
+    # k = LOG_SMALL windows); block tier handles len > 2*B, where a and
+    # b are guaranteed to sit in DIFFERENT blocks. Level count is capped
+    # at 4 (~1 GB at 10M tris) — the flat table is the memory hot spot.
+    LOG_SMALL = 3
+    LOG_B = 4
+    B = 1 << LOG_B
+    n_small_lv = min(LOG_SMALL, max((n - 1).bit_length(), 0)) + 1
+
+    def shift_min(t, s, size):
+        out = jnp.full_like(t, BIG)
+        if s < size:
+            out = out.at[: size - s].set(t[s:])
+        return jnp.minimum(t, out)
+
+    levels = [m]
+    for k in range(1, n_small_lv):
+        levels.append(shift_min(levels[-1], 1 << (k - 1), n))
+    ts = jnp.concatenate(levels, axis=0)  # (n_small_lv * n, 6)
+
+    nb = -(-n // B)
+    pad = nb * B - n
+    mp = jnp.concatenate(
+        [m, jnp.full((pad, 6), BIG, f32)]).reshape(nb, B, 6)
+    pre = jax.lax.associative_scan(jnp.minimum, mp, axis=1)
+    suf = jax.lax.associative_scan(jnp.minimum, mp, axis=1, reverse=True)
+    pre = pre.reshape(nb * B, 6)
+    suf = suf.reshape(nb * B, 6)
+
+    bm = mp.min(axis=1)  # (nb, 6) block mins
+    n_block_lv = max((nb - 1).bit_length(), 0) + 1
+    blevels = [bm]
+    for k in range(1, n_block_lv):
+        blevels.append(shift_min(blevels[-1], 1 << (k - 1), nb))
+    tb = jnp.concatenate(blevels, axis=0)  # (n_block_lv * nb, 6)
+
+    def ilog2(x):
+        return i32(31) - jax.lax.clz(jnp.maximum(x, 1))
+
+    def query(a, b):
+        """Range (lo, hi) over sorted prims [a, b] inclusive; a <= b."""
+        size = b - a + 1
+        # small tier: len <= B
+        k = jnp.minimum(ilog2(size), i32(n_small_lv - 1))
+        off = k * i32(n)
+        small = jnp.minimum(
+            jnp.take(ts, off + a, axis=0),
+            jnp.take(ts, off + b - (i32(1) << k) + 1, axis=0),
+        )
+        if n <= B:
+            res = small
+        else:
+            # big tier: block(a) suffix + interior blocks + block(b) prefix
+            ba, bb = a >> LOG_B, b >> LOG_B
+            edge = jnp.minimum(
+                jnp.take(suf, a, axis=0), jnp.take(pre, b, axis=0)
+            )
+            u, w = ba + 1, bb - 1
+            ilen = jnp.maximum(w - u + 1, 0)
+            kb = jnp.minimum(ilog2(ilen), i32(n_block_lv - 1))
+            offb = kb * i32(nb)
+            uc = jnp.clip(u, 0, nb - 1)
+            wc = jnp.clip(w - (i32(1) << kb) + 1, 0, nb - 1)
+            interior = jnp.minimum(
+                jnp.take(tb, offb + uc, axis=0),
+                jnp.take(tb, offb + wc, axis=0),
+            )
+            big = jnp.minimum(
+                edge, jnp.where((ilen > 0)[:, None], interior, BIG)
+            )
+            res = jnp.where((size <= B)[:, None], small, big)
+        return res[:, :3], -res[:, 3:]
+
+    return query
+
+
 @functools.partial(jax.jit, static_argnames=("n", "max_leaf", "K"))
 def _phase_a(vertices, faces, n: int, max_leaf: int, K: int):
     """Topology + child records, sorted by (wide parent, slot order).
@@ -81,46 +177,15 @@ def _phase_a(vertices, faces, n: int, max_leaf: int, K: int):
     okl = keep & ~l_leaf  # left child is a kept internal node
     okr = keep & ~r_leaf
 
-    # ---- bboxes (as in lbvh: leaf ranges unrolled, internal refit) ----
+    # ---- bboxes: every node (internal or collapsed leaf) covers the
+    # contiguous sorted-prim range [first, last], so all boxes are O(1)
+    # range-min/max queries — no refit fixpoint over the tree at all ----
     sorted_lo = jnp.take(prim_lo, order, axis=0)
     sorted_hi = jnp.take(prim_hi, order, axis=0)
-
-    def range_bbox(a, count):
-        lo = jnp.take(sorted_lo, a, axis=0)
-        hi = jnp.take(sorted_hi, a, axis=0)
-        for k in range(1, max_leaf):
-            valid = k < count
-            g = jnp.minimum(a + k, n - 1)
-            lo = jnp.where(valid[:, None],
-                           jnp.minimum(lo, jnp.take(sorted_lo, g, axis=0)),
-                           lo)
-            hi = jnp.where(valid[:, None],
-                           jnp.maximum(hi, jnp.take(sorted_hi, g, axis=0)),
-                           hi)
-        return lo, hi
-
-    lf_lo, lf_hi = range_bbox(first, l_size)
-    rf_lo, rf_hi = range_bbox(r_child, r_size)
-
-    node_lo = jnp.full((ni, 3), EMPTY_BIG, jnp.float32)
-    node_hi = jnp.full((ni, 3), -EMPTY_BIG, jnp.float32)
-
-    def refit(st):
-        lo, hi, _, it = st
-        llo = jnp.where(l_leaf[:, None], lf_lo, jnp.take(lo, l_child, axis=0))
-        lhi = jnp.where(l_leaf[:, None], lf_hi, jnp.take(hi, l_child, axis=0))
-        rlo = jnp.where(r_leaf[:, None], rf_lo, jnp.take(lo, r_child, axis=0))
-        rhi = jnp.where(r_leaf[:, None], rf_hi, jnp.take(hi, r_child, axis=0))
-        nlo = jnp.minimum(llo, rlo)
-        nhi = jnp.maximum(lhi, rhi)
-        done = jnp.all(nlo == lo) & jnp.all(nhi == hi)
-        return nlo, nhi, done, it + 1
-
-    # fixpoint in ACTUAL tree depth iterations (a fori to MAX_DEPTH paid
-    # 2x the typical depth in gathers — the dominant build cost at 10M)
-    node_lo, node_hi, _, _ = jax.lax.while_loop(
-        lambda st: (~st[2]) & (st[3] < MAX_DEPTH), refit,
-        (node_lo, node_hi, jnp.bool_(False), jnp.int32(0)))
+    range_query = _make_range_minmax(sorted_lo, sorted_hi, n)
+    lf_lo, lf_hi = range_query(first, split)
+    rf_lo, rf_hi = range_query(r_child, last)
+    node_lo, node_hi = range_query(first, last)
     axis_i = jnp.argmax(node_hi - node_lo, axis=1).astype(i32)
 
     # ---- parent pointers + depth over the KEPT tree ----
@@ -136,8 +201,10 @@ def _phase_a(vertices, faces, n: int, max_leaf: int, K: int):
     depth = jnp.where(iar == 0, 0, 1).astype(i32)
     jmp = par
     for _ in range(MAX_DEPTH.bit_length()):
-        depth = depth + jnp.take(depth, jmp)
-        jmp = jnp.take(jmp, jmp)
+        # both reads index by jmp: one packed (ni, 2) row gather
+        dj = jnp.take(jnp.stack([depth, jmp], axis=1), jmp, axis=0)
+        depth = depth + dj[:, 0]
+        jmp = dj[:, 1]
 
     # ---- wide roots: kept nodes at depth % K == 0 ----
     wroot = keep & (depth % K == 0)
@@ -175,7 +242,7 @@ def _phase_a(vertices, faces, n: int, max_leaf: int, K: int):
     bank_i = dict(
         par=jnp.where(val_i, jnp.take(wrank, anc_up), _I32MAX),
         key=center_key(node_lo, node_hi, pax_i),
-        meta=jnp.take(wrank, iar),
+        meta=wrank,  # identity take: wrank already indexed by node id
         cnt=jnp.zeros(ni, i32),
         a=jnp.zeros(ni, i32),
         leaf=jnp.zeros(ni, i32),
@@ -209,14 +276,18 @@ def _phase_a(vertices, faces, n: int, max_leaf: int, K: int):
     # the whole sorting network (~2x the records' bytes per stage)
     idx1 = jnp.argsort(rk, stable=True)
     perm = jnp.take(idx1, jnp.argsort(jnp.take(rp, idx1), stable=True))
-    sp = jnp.take(rp, perm)
-    s_meta = jnp.take(cat("meta"), perm)
-    s_cnt = jnp.take(cat("cnt"), perm)
-    s_a = jnp.take(cat("a"), perm)
-    s_leaf = jnp.take(cat("leaf"), perm)
-    rlo, rhi = cat("lo"), cat("hi")
-    slo0, slo1, slo2 = (jnp.take(rlo[:, k], perm) for k in range(3))
-    shi0, shi1, shi2 = (jnp.take(rhi[:, k], perm) for k in range(3))
+    # all 12 payload columns ride ONE packed row gather (core/rowpack)
+    from ..core.rowpack import permute_rows
+
+    srec = permute_rows(
+        dict(par=rp, meta=cat("meta"), cnt=cat("cnt"), a=cat("a"),
+             leaf=cat("leaf"), lo=cat("lo"), hi=cat("hi")),
+        perm,
+    )
+    sp, s_meta, s_cnt = srec["par"], srec["meta"], srec["cnt"]
+    s_a, s_leaf = srec["a"], srec["leaf"]
+    slo0, slo1, slo2 = (srec["lo"][:, k] for k in range(3))
+    shi0, shi1, shi2 = (srec["hi"][:, k] for k in range(3))
     leaf_rank = jnp.cumsum(s_leaf) - s_leaf
     n_rows = s_leaf.sum()
     s_meta = jnp.where(s_leaf == 1, -(leaf_rank + 1), s_meta)
@@ -247,6 +318,58 @@ def _phase_b(vertices, faces, order, sp, s_meta, s_cnt, s_a, s_leaf,
     NR = 1 if W == 16 else W // 8
 
     seg = jnp.searchsorted(sp, jnp.arange(nw_pad + 1, dtype=i32)).astype(i32)
+
+    if W == 16:
+        # ---- packed path: per slot, ONE (nw_pad, 8) row gather of the
+        # record matrix; the node table is a single lane concat (box
+        # lanes 6s..6s+5, meta 96+s, count 112+s) — no .at column writes
+        rec = jnp.stack(
+            [slo0, slo1, slo2, shi0, shi1, shi2,
+             s_meta.astype(f32), s_cnt.astype(f32)], axis=1)
+        axis_f = (node_axis[:nw_pad] if node_axis.shape[0] >= nw_pad
+                  else jnp.pad(node_axis,
+                               (0, nw_pad - node_axis.shape[0]))).astype(f32)
+        boxes, metas, cnts = [], [], []
+        empty6 = jnp.asarray(
+            [EMPTY_BIG] * 3 + [-EMPTY_BIG] * 3, f32)
+        for s in range(W):
+            idx = seg[:-1] + s
+            valid = idx < seg[1:]
+            g = jnp.take(rec, jnp.clip(idx, 0, nrec - 1), axis=0)
+            boxes.append(jnp.where(valid[:, None], g[:, 0:6], empty6))
+            metas.append(jnp.where(valid, g[:, 6], 0.0))
+            cnt = jnp.where(valid, g[:, 7], 0.0)
+            if s == 0:
+                # order axis rides the child-0 count lane (cnt + 16*axis)
+                cnt = cnt + 16.0 * axis_f
+            cnts.append(cnt)
+        nodes = jnp.concatenate(
+            boxes + [jnp.stack(metas, axis=1), jnp.stack(cnts, axis=1)],
+            axis=1)
+
+        # ---- leaf rows: (n, 10) sorted soup [v0 v1 v2 pid], then one
+        # row gather per leaf slot; the table is again a single concat
+        A = jnp.zeros(nrows_pad, i32).at[
+            jnp.where(s_leaf == 1, leaf_rank, nrows_pad)].set(
+            jnp.where(s_leaf == 1, s_a, 0), mode="drop")
+        v0 = jnp.take(vertices, faces[:, 0], axis=0)
+        v1 = jnp.take(vertices, faces[:, 1], axis=0)
+        v2 = jnp.take(vertices, faces[:, 2], axis=0)
+        soup = jnp.concatenate(
+            [v0, v1, v2, jnp.arange(n, dtype=f32)[:, None]], axis=1)
+        soup = jnp.take(soup, order, axis=0)  # morton order; col 9 = prim
+        vparts, pids = [], []
+        for t in range(max_leaf):
+            g = jnp.take(soup, jnp.clip(A + t, 0, n - 1), axis=0)
+            vparts.append(g[:, :9])
+            pids.append(g[:, 9])
+        leafs = jnp.concatenate(
+            vparts
+            + [jnp.zeros((nrows_pad, 90 - 9 * max_leaf), f32)]
+            + [jnp.stack(pids, axis=1)]
+            + [jnp.zeros((nrows_pad, 128 - 90 - max_leaf), f32)],
+            axis=1)
+        return nodes, leafs
 
     # empty node pattern: inverted boxes in every slot
     empty = np.zeros((NR, 128), np.float32)

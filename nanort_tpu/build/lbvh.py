@@ -74,51 +74,95 @@ def _clz32(x):
 
 @functools.partial(jax.jit, static_argnames=("n",))
 def _karras_topology(codes, n: int):
-    """(first, last, split) per internal node over sorted codes."""
-    i = jnp.arange(n - 1, dtype=jnp.int32)
+    """(first, last, split) per internal node over sorted codes.
 
-    def delta(a, b):
-        valid = (b >= 0) & (b < n)
-        bc = jnp.clip(b, 0, n - 1)
-        x = jnp.take(codes, a) ^ jnp.take(codes, bc)
-        d = jnp.where(
-            x == 0,
-            32 + _clz32(a.astype(jnp.uint32) ^ bc.astype(jnp.uint32)),
-            _clz32(x),
-        )
-        return jnp.where(valid, d, -1)
+    Karras'12 formulated per-node galloping + two binary searches over
+    pairwise common-prefix lengths (~150 scalar gathers of the code
+    array at 10M tris — the build's second-largest cost). This uses the
+    LCP composition property instead: with D[k] = delta(k, k+1) over
+    ADJACENT sorted codes (one vectorized pass, no gathers),
+    delta(a, b) == min D[a..b-1], so
 
-    d = jnp.sign(delta(i, i + 1) - delta(i, i - 1)).astype(jnp.int32)
-    d = jnp.where(d == 0, 1, d)
-    dmin = delta(i, i - d)
+      * the range end is a greedy aligned sparse-table descent — ONE
+        table gather per bit of range length, and
+      * the split is the LEFTMOST ARGMIN of D over the node range —
+        one O(1) range-min query of a (value << 25 | index) key whose
+        low bits carry the position.
 
-    lmax = jnp.full(n - 1, 2, jnp.int32)
+    Duplicate codes keep Karras's index tie-break: D embeds
+    32 + clz(k ^ (k+1)) exactly as the pairwise delta did, and the
+    min-composition holds for the augmented keys because indices are
+    strictly increasing. Results are identical to the reference
+    formulation (nanort.h has no LBVH; this matches Karras directly).
+    """
+    i32 = jnp.int32
+    m = n - 1
+    if m >= (1 << 25):
+        raise ValueError("argmin key packs indices into 25 bits")
+    i = jnp.arange(m, dtype=i32)
 
-    def gallop(k, lmax):
-        return jnp.where(delta(i, i + lmax * d) > dmin, lmax * 2, lmax)
+    # adjacent deltas, slices only
+    x = codes[:-1] ^ codes[1:]
+    D = jnp.where(
+        x == 0,
+        32 + _clz32(i.astype(jnp.uint32) ^ (i + 1).astype(jnp.uint32)),
+        _clz32(x),
+    ).astype(i32)
 
-    lmax = jax.lax.fori_loop(0, 24, gallop, lmax)
+    # per-level sparse min-tables over D, int8 (D <= 95), padded with -1
+    # so out-of-range windows FAIL the `> dmin` test. Levels stay
+    # separate arrays: every descent iteration uses one STATIC level, so
+    # no flattened copy is ever materialized (~1 GB saved at 10M tris).
+    n_lv = max(int(m).bit_length(), 1)
+    levels = [D.astype(jnp.int8)]
+    for k in range(1, n_lv):
+        s = 1 << (k - 1)
+        t = levels[-1]
+        ext = jnp.full_like(t, np.int8(-1))
+        if s < m:
+            ext = ext.at[: m - s].set(t[s:])
+        levels.append(jnp.minimum(t, ext))
 
-    def shrink(k, l):
-        step = lmax >> (k + 1)
-        take = (step > 0) & (delta(i, i + (l + step) * d) > dmin)
-        return jnp.where(take, l + step, l)
+    dp1 = D  # delta(i, i+1)
+    dm1 = jnp.where(i > 0, jnp.concatenate([D[:1], D[:-1]]), -1)
+    d = jnp.where(dp1 >= dm1, 1, -1).astype(i32)  # ties go right (Karras)
+    dmin = jnp.where(d > 0, dm1, dp1)
 
-    l = jax.lax.fori_loop(0, 24, shrink, jnp.zeros(n - 1, jnp.int32))
+    # greedy descent: extend the run [i, i+l*d] while every adjacent
+    # delta inside stays > dmin; windows align to the current length so
+    # each level costs one gather of T_k. Taken windows tile the final
+    # span exactly, so their running min IS delta(i, j) (= dnode).
+    l = jnp.zeros(m, i32)
+    dnode = jnp.full(m, np.int32(2**31 - 1), i32)
+    for k in range(n_lv - 1, -1, -1):
+        w = i32(1 << k)
+        # window of D indices: d=+1 -> [i+l, i+l+w-1]; d=-1 -> [i-l-w, i-l-1]
+        p = jnp.where(d > 0, i + l, i - l - w)
+        # windows STARTING out of range must fail explicitly (the clip
+        # below would alias them onto valid rows); windows merely
+        # EXTENDING past m-1 fail via the -1 pad
+        ok = (p >= 0) & (p <= m - 1)
+        v = jnp.take(levels[k], jnp.clip(p, 0, m - 1)).astype(i32)
+        take = ok & (v > dmin)
+        l = jnp.where(take, l + w, l)
+        dnode = jnp.where(take, jnp.minimum(dnode, v), dnode)
+
     j = i + l * d
     first = jnp.minimum(i, j)
     last = jnp.maximum(i, j)
-    dnode = delta(i, j)
 
-    def split_shrink(k, c):
-        s, span = c
-        span = (span + 1) >> 1
-        take = (delta(first, s + span) > dnode) & (s + span < last)
-        return jnp.where(take, s + span, s), span
-
-    split, _ = jax.lax.fori_loop(
-        0, 26, split_shrink, (first, last - first)
-    )
+    # split = leftmost position p of D == dnode in [first, last-1]: a
+    # second descent extends from `first` while min D stays > dnode
+    # (windows always start <= p, so any overextension contains D[p]
+    # == dnode and fails — no bounds gate needed)
+    sl = jnp.zeros(m, i32)
+    for k in range(n_lv - 1, -1, -1):
+        w = i32(1 << k)
+        v = jnp.take(
+            levels[k], jnp.clip(first + sl, 0, m - 1)
+        ).astype(i32)
+        sl = jnp.where(v > dnode, sl + w, sl)
+    split = first + sl
     return first, last, split
 
 

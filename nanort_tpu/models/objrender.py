@@ -197,8 +197,16 @@ def render_ao(
         + d_local[..., 2:3] * n[None]
     )
     org = jnp.broadcast_to((p + eps * n)[None], d.shape)
+    # pixels whose primary ray missed launch DEAD occlusion rays
+    # (max_t <= min_t): the sort key's dead bit clusters them into
+    # packets the kernel retires in one step
+    far = jnp.broadcast_to(
+        jnp.where(hit, jnp.asarray(ao_radius, dt), jnp.asarray(-1.0, dt))[None],
+        d.shape[:-1],
+    )
     sec = make_rays(
-        org.reshape(-1, 3), d.reshape(-1, 3), min_t=0.0, max_t=ao_radius
+        org.reshape(-1, 3), d.reshape(-1, 3), min_t=0.0,
+        max_t=far.reshape(-1),
     )
     skip = jnp.broadcast_to(hits.prim_id[None], (S,) + hit.shape)
     if scene8 is not None:

@@ -163,8 +163,25 @@ def _sample_light(scene: PTScene, key, x):
     return dirn, dist, pdf, radiance
 
 
+# Scenes at or below this many triangles trace brute-force: one fused
+# watertight sweep over all prims beats any accelerated path because it
+# has ZERO permutation cost (sort+unsort of a 6.5M-ray megabatch costs
+# ~1s while 32-tri Cornell leaf work is ~10ms). The reference's own
+# path_tracer benchmark scene is 32 triangles (path_tracer/main.cc:31-33).
+BRUTE_MAX_TRIS = 512
+
+
 def _trace(scene: PTScene, org, d, min_t, max_t, tile, occlusion=False):
     rays = Rays(org=org, dir=d, min_t=min_t, max_t=max_t)
+    if scene.mesh.num_faces <= BRUTE_MAX_TRIS:
+        from ..traverse.brute import brute_force_traverse
+
+        # bound the (R, chunk) intersection intermediates to ~64M
+        # elements: XLA holds several of them live inside the bounce
+        # while-loop, and megabatch R is in the millions
+        R = org.reshape(-1, 3).shape[0]
+        chunk = int(min(512, max(4, (1 << 26) // max(R, 1))))
+        return brute_force_traverse(scene.mesh, rays, chunk_size=chunk)
     if scene.scene8 is not None:
         from ..traverse.ray_sort import traverse_bvh8_sorted
 
@@ -414,6 +431,10 @@ def make_pt_scene(
         vertices=jnp.asarray(vertices, jnp.float32),
         faces=jnp.asarray(faces, jnp.int32),
     )
+    if mesh.num_faces <= BRUTE_MAX_TRIS:
+        # _trace ignores the BVH below this size (brute-force sweep);
+        # don't pay the accelerated-table build either
+        engine = "wavefront"
     if engine in ("pallas", "turbo"):
         leaf = 9 if engine == "turbo" else 8
         bvh, _ = build_triangle_bvh(

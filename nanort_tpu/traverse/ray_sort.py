@@ -18,12 +18,26 @@ import jax
 import jax.numpy as jnp
 
 from ..core.ray import Hits, Rays
+from ..core.rowpack import pack_rows, permute_rows, unpermute_rows  # noqa: F401 (re-export)
 
 
-def ray_sort_keys(rays: Rays, scene_lo, scene_hi) -> jnp.ndarray:
-    """uint32 sort keys: origin Morton (15 bits) . octant (3 bits)."""
+def ray_sort_keys(
+    rays: Rays, scene_lo, scene_hi, octant_major: bool = False
+) -> jnp.ndarray:
+    """uint32 sort keys: dead bit (31) . origin Morton (15 bits) .
+    octant (3 bits) — or octant-major (octant above Morton) when
+    ``octant_major``: bounce batches with many rays per origin cell
+    (AO/PT hemisphere fans) pack better when packets share slab-select
+    direction first.
+
+    Rays whose interval is already empty (max_t <= min_t — the megabatch
+    renderers' convention for terminated paths and inactive NEE samples)
+    sort LAST: they cluster into all-dead packets that the kernel
+    terminates in one step, so a bounce round's cost tracks the live-ray
+    count instead of the batch size."""
     org = rays.org.reshape(-1, 3)
     d = rays.dir.reshape(-1, 3)
+    dead = (rays.max_t <= rays.min_t).reshape(-1)
     lo = jnp.asarray(scene_lo, org.dtype)
     ext = jnp.maximum(jnp.asarray(scene_hi, org.dtype) - lo, 1e-30)
     q = jnp.clip((org - lo) / ext * 32.0, 0.0, 31.0).astype(jnp.uint32)
@@ -40,25 +54,27 @@ def ray_sort_keys(rays: Rays, scene_lo, scene_hi) -> jnp.ndarray:
         + (d[:, 1] < 0).astype(jnp.uint32) * 2
         + (d[:, 2] < 0).astype(jnp.uint32)
     )
-    return (morton << 3) | octant
+    if octant_major:
+        key = (octant << 15) | morton
+    else:
+        key = (morton << 3) | octant
+    return key | (dead.astype(jnp.uint32) << 31)
 
 
-def sort_rays(rays: Rays, scene_lo, scene_hi):
+def sort_rays(rays: Rays, scene_lo, scene_hi, octant_major: bool = False):
     """Returns (sorted flat rays, order, unsort fn for result pytrees)."""
     bs = rays.batch_shape
     flat = jax.tree_util.tree_map(
         lambda x: x.reshape((-1,) + x.shape[len(bs):]), rays
     )
-    keys = ray_sort_keys(flat, scene_lo, scene_hi)
+    keys = ray_sort_keys(flat, scene_lo, scene_hi, octant_major)
     order = jnp.argsort(keys)
-    sorted_rays = jax.tree_util.tree_map(
-        lambda x: jnp.take(x, order, axis=0), flat
-    )
-    inv = jnp.argsort(order)
+    sorted_rays = permute_rows(flat, order)
 
     def unsort(tree):
+        out = unpermute_rows(tree, order)
         return jax.tree_util.tree_map(
-            lambda x: jnp.take(x, inv, axis=0).reshape(bs + x.shape[1:]), tree
+            lambda x: x.reshape(bs + x.shape[1:]), out
         )
 
     return sorted_rays, order, unsort
@@ -72,7 +88,8 @@ def traverse_bvh8_sorted(scene8, rays: Rays, *args, **kwargs) -> Hits:
     lo = scene8.nodes[0, 0:3]  # root bbox (child-0 lower bound is a
     hi = scene8.nodes[0, 3:6]  # fine proxy; exactness doesn't matter)
     skip = kwargs.pop("skip_prim_id", None)
-    sorted_rays, order, unsort = sort_rays(rays, lo, hi)
+    octant_major = kwargs.pop("octant_major", False)
+    sorted_rays, order, unsort = sort_rays(rays, lo, hi, octant_major)
     if skip is not None:
         skip = jnp.take(jnp.asarray(skip).reshape(-1), order)
     hits = traverse_bvh8(scene8, sorted_rays, *args, skip_prim_id=skip, **kwargs)

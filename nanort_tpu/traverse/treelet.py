@@ -324,13 +324,15 @@ def _pair_order(td, te, best_t, T, C, packet):
 )
 def _pair_fill(order_j, key_j, counts, comps, best_t, T, C, packet, n_slots):
     """Assemble packet-aligned ray slots for the first len(order_j)
-    grouped pairs via ONE index scatter + per-component gathers (TPU
-    scatters cost what gathers do, so the SoA is moved with gathers from
-    per-component (R+1,) arrays whose last row is an inert pad ray).
+    grouped pairs via ONE index scatter + ONE row gather (TPU scalar
+    gathers run ~110M elem/s but (n, 8)-row gathers move ~12x more per
+    index, so the whole SoA rides one (R+1, 8) matrix whose last row is
+    an inert pad ray; the ray's current-best far bound is refreshed into
+    column 7 with a single vectorized column write per sweep).
 
     Returns (slot ray SoA components, per-packet roots as treelet ids,
     per-slot source ray index [R = pad])."""
-    R = comps[0].shape[0] - 1
+    R = comps.shape[0] - 1
     j = jnp.arange(order_j.shape[0], dtype=jnp.int32)
     g = jnp.minimum(key_j, T - 1)
     live = key_j < T
@@ -347,15 +349,11 @@ def _pair_fill(order_j, key_j, counts, comps, best_t, T, C, packet, n_slots):
 
     slot_src = jnp.full((n_slots,), R, jnp.int32)
     slot_src = slot_src.at[dest].set(jnp.where(live, ray_idx, R))
-    ox, oy, oz, dx, dy, dz, mint = [
-        jnp.take(c, slot_src) for c in comps[:7]
-    ]
     # per-slot far bound = the ray's current best (in-kernel pruning);
-    # pad row maps to max_t = -1 < min_t = 1, an inert slot
-    maxt = jnp.take(
-        jnp.concatenate([best_t, jnp.full((1,), -1.0, best_t.dtype)]),
-        slot_src,
-    )
+    # pad row keeps max_t = -1 < min_t = 1, an inert slot
+    comps = comps.at[:R, 7].set(best_t)
+    rows = jnp.take(comps, slot_src, axis=0)  # (n_slots, 8)
+    ox, oy, oz, dx, dy, dz, mint, maxt = (rows[:, k] for k in range(8))
     slot_tid = jnp.full((n_slots,), -1, jnp.int32)
     slot_tid = slot_tid.at[dest].max(jnp.where(live, g, -1))
     pkt_tid = jnp.max(slot_tid.reshape(-1, packet), axis=1)
@@ -382,11 +380,16 @@ def _pair_merge(best, slot_t, slot_u, slot_v, slot_pid, slot_src):
     )[:R]
     got = (wslot >= 0) & (cand[:R] <= best.t)
     ws = jnp.maximum(wslot, 0)
+    # winner record rides one packed (R, 4) row gather (core/rowpack)
+    from ..core.rowpack import permute_rows
+
+    rec = permute_rows(
+        dict(t=slot_t, u=slot_u, v=slot_v, pid=slot_pid), ws)
     return Hits(
-        t=jnp.where(got, jnp.take(slot_t, ws), best.t),
-        u=jnp.where(got, jnp.take(slot_u, ws), best.u),
-        v=jnp.where(got, jnp.take(slot_v, ws), best.v),
-        prim_id=jnp.where(got, jnp.take(slot_pid, ws), best.prim_id),
+        t=jnp.where(got, rec["t"], best.t),
+        u=jnp.where(got, rec["u"], best.u),
+        v=jnp.where(got, rec["v"], best.v),
+        prim_id=jnp.where(got, rec["pid"], best.prim_id),
     )
 
 
@@ -442,7 +445,9 @@ def traverse_bvh8_binned(
     hi = jnp.max(treelets.bmax, axis=0)
     skeys = ray_sort_keys(flat, lo, hi)
     sorder = jnp.argsort(skeys)
-    flat = jax.tree_util.tree_map(lambda x: jnp.take(x, sorder, axis=0), flat)
+    from ..core.rowpack import permute_rows
+
+    flat = permute_rows(flat, sorder)
 
     t_entry, tid, n_ent = _treelet_klists(
         flat.org, flat.dir, flat.min_t, flat.max_t,
@@ -450,17 +455,18 @@ def traverse_bvh8_binned(
         K,
     )
 
-    pad1 = lambda x, f: jnp.concatenate(
-        [x, jnp.full((1,), f, x.dtype)]
-    )
-
     def make_comps(fl):
-        return (
-            pad1(fl.org[:, 0], 0.0), pad1(fl.org[:, 1], 0.0),
-            pad1(fl.org[:, 2], 0.0), pad1(fl.dir[:, 0], 1.0),
-            pad1(fl.dir[:, 1], 0.0), pad1(fl.dir[:, 2], 0.0),
-            pad1(fl.min_t, 1.0),
+        """(R+1, 8) ray-SoA matrix [ox oy oz dx dy dz min_t max_t-slot];
+        the final row is an inert pad ray (max_t -1 < min_t 1)."""
+        n = fl.org.shape[0]
+        m = jnp.concatenate(
+            [fl.org, fl.dir, fl.min_t[:, None],
+             jnp.full((n, 1), -1.0, fl.org.dtype)], axis=1
         )
+        pad = jnp.asarray(
+            [[0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 1.0, -1.0]], m.dtype
+        )
+        return jnp.concatenate([m, pad], axis=0)
 
     comps = make_comps(flat)
     best = Hits(
@@ -556,10 +562,13 @@ def traverse_bvh8_binned(
             sub_best,
         )
 
-    # unsort back to caller order
-    inv = jnp.argsort(sorder)
-    unsort = lambda x: jnp.take(x, inv, axis=0).reshape(bs + x.shape[1:])
-    return jax.tree_util.tree_map(unsort, best)
+    # unsort back to caller order: one packed row scatter (no inverse
+    # permutation ever materializes — core/rowpack)
+    from ..core.rowpack import unpermute_rows
+
+    out = unpermute_rows(best, sorder)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape(bs + x.shape[1:]), out)
 
 
 def _next_pow2(n: int) -> int:

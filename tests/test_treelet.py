@@ -196,18 +196,14 @@ def test_pair_sweep_machinery():
 
     # fill
     org = rng.uniform(-1, 1, (R, 3)).astype(np.float32)
-    comps = tuple(
-        jnp.concatenate([jnp.asarray(org[:, i]),
-                         jnp.full((1,), 0.0, jnp.float32)])
-        for i in range(3)
-    ) + tuple(
-        jnp.concatenate([jnp.full((R,), v, jnp.float32),
-                         jnp.full((1,), v, jnp.float32)])
-        for v in (1.0, 0.0, 0.0)
-    ) + (
-        jnp.concatenate([jnp.zeros((R,), jnp.float32),
-                         jnp.full((1,), 1.0, jnp.float32)]),
-    )
+    # (R+1, 8) ray-SoA matrix [ox oy oz dx dy dz min_t max_t-slot];
+    # last row = inert pad ray
+    m = np.concatenate(
+        [org, np.tile(np.asarray([[1.0, 0.0, 0.0]], np.float32), (R, 1)),
+         np.zeros((R, 1), np.float32), np.full((R, 1), -1.0, np.float32)],
+        axis=1)
+    pad = np.asarray([[0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 1.0, -1.0]], np.float32)
+    comps = jnp.asarray(np.concatenate([m, pad], axis=0))
     assert int(n_padded) == int(
         (-(-np.bincount(key_np[key_np < T], minlength=T) // packet)
          * packet).sum())
