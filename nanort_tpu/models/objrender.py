@@ -161,12 +161,14 @@ def render_ao(
     max_leaf: int = 4,
     scene8=None,
     specialize=None,
+    **trace_kw,
 ):
     """Ambient occlusion: fraction of unoccluded cosine-hemisphere
     samples from each primary hit point. Secondary rays skip the hit
     primitive instead of epsilon-offsetting alone (skip_prim_id,
     nanort.h:611-614). ``scene8`` routes all traversals through the
-    packet kernel.
+    packet kernel; ``trace_kw`` forwards to the sorted packet path for
+    the occlusion megabatch (e.g. ``octant_major=True``, ``sub=8``).
 
     All ``n_samples`` occlusion rays per pixel launch as ONE megabatch
     traversal (the reference's per-sample loop, objrender-style, is
@@ -214,7 +216,7 @@ def render_ao(
 
         occ = traverse_bvh8_sorted(
             scene8, sec, options, skip_prim_id=skip.reshape(-1),
-            occlusion=True,
+            occlusion=True, **trace_kw,
         )
     else:
         occ = traverse_triangles(

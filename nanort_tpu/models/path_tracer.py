@@ -61,6 +61,34 @@ class PTScene(NamedTuple):
     # the Pallas packet kernel with Morton ray sorting (TPU fast path;
     # the wavefront XLA engine is the portable default)
     scene8: object | None = None
+    # per-face shading table (F, 17|26): [gnormal 3 | diffuse 3 |
+    # emission 3 | specular 3 | transmittance 3 | ior | dissolve
+    # (| vertex normals 9)].  One row lookup replaces ~13 per-ray
+    # scalar/short gathers per bounce — the per-INDEX gather fee
+    # (~110M/s on v5e) dominated the megabatch bounce loop.
+    face_table: jnp.ndarray | None = None
+    # per-light-face table (L, 16): [v0 3 | v1 3 | v2 3 | unit normal 3 |
+    # area | emission 3] for _sample_light
+    light_table: jnp.ndarray | None = None
+
+
+# One-hot matmul lookups stay exact (a single 1.0 per row copies table
+# values bit-for-bit under Precision.HIGHEST) and cost ~R*F*C flops on
+# the MXU instead of R per-index gather fees; the (R, F) one-hot operand
+# caps the table height.
+ONEHOT_MAX_ROWS = 64
+
+
+def _rows_by_id(table, idx):
+    """table[idx] as (len(idx), C). Tiny tables ride a one-hot MXU
+    matmul (exact: one 1.0 per row, full-f32 precision); larger ones a
+    single row gather (one per-index fee for all C columns)."""
+    F = table.shape[0]
+    if F <= ONEHOT_MAX_ROWS:
+        oh = (idx[:, None] == jnp.arange(F, dtype=idx.dtype)[None, :])
+        return jax.lax.dot(oh.astype(table.dtype), table,
+                           precision=jax.lax.Precision.HIGHEST)
+    return jnp.take(table, idx, axis=0)
 
 
 def collect_light_faces(material_ids, materials: Materials) -> np.ndarray:
@@ -128,32 +156,48 @@ def _sample_light(scene: PTScene, key, x):
     radiance)."""
     lf = scene.light_faces
     nl = lf.shape[0]
+    if nl == 0:
+        # no emissive faces: NEE disabled via pdf = 0 everywhere
+        z3 = jnp.zeros(x.shape, jnp.float32)
+        z1 = jnp.zeros(x.shape[:-1], jnp.float32)
+        return z3, z1, z1, z3
     xi1 = jax.random.uniform(key, x.shape[:-1], jnp.float32)
     xi2 = jax.random.uniform(jax.random.fold_in(key, 1), x.shape[:-1], jnp.float32)
     fidx = jnp.minimum((xi1 * nl).astype(jnp.int32), nl - 1)
     xi1 = xi1 * nl - fidx
-    fid = jnp.take(lf, fidx)
     pick_pdf = 1.0 / nl
 
-    f = jnp.take(scene.mesh.faces, fid, axis=0)
-    tri = jnp.take(scene.mesh.vertices, f, axis=0)
-    v0, v1, v2 = tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
+    if scene.light_table is not None and fidx.ndim == 1:
+        # one row lookup (PTScene.light_table layout), values
+        # precomputed with identical f32 ops
+        rows = _rows_by_id(scene.light_table, fidx)
+        v0, v1, v2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+        norm = rows[:, 9:12]
+        area = rows[:, 12]
+        ll = rows[:, 13:16]
+    else:
+        fid = jnp.take(lf, fidx)
+        f = jnp.take(scene.mesh.faces, fid, axis=0)
+        tri = jnp.take(scene.mesh.vertices, f, axis=0)
+        v0, v1, v2 = tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
+        cr = jnp.cross(v1 - v0, v2 - v0)
+        area = 0.5 * jnp.linalg.norm(cr, axis=-1)
+        norm = cr / jnp.maximum(
+            jnp.linalg.norm(cr, axis=-1, keepdims=True), 1e-30)
+        mid = jnp.take(scene.material_ids, fid)
+        ll = jnp.take(scene.materials.emission, mid, axis=0)
+
     s = jnp.sqrt(xi1)
     c0 = (1.0 - s)[..., None]
     c1 = (s * (1.0 - xi2))[..., None]
     c2 = (s * xi2)[..., None]
     lp = c0 * v0 + c1 * v1 + c2 * v2
-    cr = jnp.cross(v1 - v0, v2 - v0)
-    area = 0.5 * jnp.linalg.norm(cr, axis=-1)
-    norm = cr / jnp.maximum(jnp.linalg.norm(cr, axis=-1, keepdims=True), 1e-30)
 
     d = lp - x
     dist = jnp.linalg.norm(d, axis=-1)
     ok = dist > 1e-6
     dirn = d / jnp.maximum(dist[..., None], 1e-30)
     cos_l = jnp.maximum(jnp.sum(-dirn * norm, -1), 0.0)
-    mid = jnp.take(scene.material_ids, fid)
-    ll = jnp.take(scene.materials.emission, mid, axis=0)
     radiance = ll * cos_l[..., None]
     # PdfAtoW: area pdf * dist^2 / cos (main.cc:300-310)
     area_pdf = pick_pdf / jnp.maximum(area, 1e-30)
@@ -249,35 +293,59 @@ def trace_paths(
 
         p = st["org"] + st["dir"] * hits.t[..., None]
 
-        if has_normals and scene.facevarying_normals is not None:
-            nrm3 = jnp.take(scene.facevarying_normals, fid, axis=0)
-            w0 = (1.0 - hits.u - hits.v)[..., None]
-            norm = (
-                w0 * nrm3[:, 0] + hits.u[..., None] * nrm3[:, 1]
-                + hits.v[..., None] * nrm3[:, 2]
-            )
-            norm = norm / jnp.maximum(
-                jnp.linalg.norm(norm, axis=-1, keepdims=True), 1e-30
-            )
+        if scene.face_table is not None:
+            # ONE per-ray row lookup for everything the shader reads
+            # (PTScene.face_table layout); values were precomputed with
+            # the same f32 ops, so records match the gather path exactly
+            rows = _rows_by_id(scene.face_table, fid)
+            if has_normals and scene.facevarying_normals is not None:
+                nrm3 = rows[:, 17:26].reshape(-1, 3, 3)
+                w0 = (1.0 - hits.u - hits.v)[..., None]
+                norm = (
+                    w0 * nrm3[:, 0] + hits.u[..., None] * nrm3[:, 1]
+                    + hits.v[..., None] * nrm3[:, 2]
+                )
+                norm = norm / jnp.maximum(
+                    jnp.linalg.norm(norm, axis=-1, keepdims=True), 1e-30
+                )
+            else:
+                norm = rows[:, 0:3]
+            mat_d = rows[:, 3:6]
+            mat_e = rows[:, 6:9]
+            mat_s = rows[:, 9:12]
+            mat_r = rows[:, 12:15]
+            ior = rows[:, 15]
+            dissolve = rows[:, 16]
         else:
-            f = jnp.take(scene.mesh.faces, fid, axis=0)
-            tri = jnp.take(scene.mesh.vertices, f, axis=0)
-            norm = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
-            norm = norm / jnp.maximum(
-                jnp.linalg.norm(norm, axis=-1, keepdims=True), 1e-30
-            )
+            if has_normals and scene.facevarying_normals is not None:
+                nrm3 = jnp.take(scene.facevarying_normals, fid, axis=0)
+                w0 = (1.0 - hits.u - hits.v)[..., None]
+                norm = (
+                    w0 * nrm3[:, 0] + hits.u[..., None] * nrm3[:, 1]
+                    + hits.v[..., None] * nrm3[:, 2]
+                )
+                norm = norm / jnp.maximum(
+                    jnp.linalg.norm(norm, axis=-1, keepdims=True), 1e-30
+                )
+            else:
+                f = jnp.take(scene.mesh.faces, fid, axis=0)
+                tri = jnp.take(scene.mesh.vertices, f, axis=0)
+                norm = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+                norm = norm / jnp.maximum(
+                    jnp.linalg.norm(norm, axis=-1, keepdims=True), 1e-30
+                )
+
+            mid = jnp.take(scene.material_ids, fid)
+            mat_d = jnp.take(scene.materials.diffuse, mid, axis=0)
+            mat_e = jnp.take(scene.materials.emission, mid, axis=0)
+            mat_s = jnp.take(scene.materials.specular, mid, axis=0)
+            mat_r = jnp.take(scene.materials.transmittance, mid, axis=0)
+            ior = jnp.take(scene.materials.ior, mid)
+            dissolve = jnp.take(scene.materials.dissolve, mid)
 
         original_norm = norm
         facing = jnp.sum(norm * st["dir"], -1) > 0
         norm = jnp.where(facing[..., None], -norm, norm)
-
-        mid = jnp.take(scene.material_ids, fid)
-        mat_d = jnp.take(scene.materials.diffuse, mid, axis=0)
-        mat_e = jnp.take(scene.materials.emission, mid, axis=0)
-        mat_s = jnp.take(scene.materials.specular, mid, axis=0)
-        mat_r = jnp.take(scene.materials.transmittance, mid, axis=0)
-        ior = jnp.take(scene.materials.ior, mid)
-        dissolve = jnp.take(scene.materials.dissolve, mid)
 
         inside = jnp.where(jnp.sum(st["dir"] * original_norm, -1) < 0, -1.0, 1.0)
         n1 = jnp.where(inside < 0, 1.0 / ior, ior)
@@ -471,6 +539,47 @@ def make_pt_scene(
         dissolve=jnp.asarray(materials["dissolve"], jnp.float32),
     )
     lf = collect_light_faces(material_ids, mats)
+
+    # ---- per-face shading table + per-light table (see PTScene) ----
+    # Values are computed with the exact same f32 ops the bounce loop
+    # used to run per ray, so records are bit-identical to the gather
+    # path. Table memory is F x 17|26 f32 — capped to keep huge scenes
+    # on the legacy per-field gathers.
+    fvn = (jnp.asarray(facevarying_normals, jnp.float32)
+           if facevarying_normals is not None else None)
+    mid_np = jnp.asarray(material_ids, jnp.int32)
+    face_table = light_table = None
+    if mesh.num_faces <= 4_000_000:
+        v0 = jnp.take(mesh.vertices, mesh.faces[:, 0], axis=0)
+        v1 = jnp.take(mesh.vertices, mesh.faces[:, 1], axis=0)
+        v2 = jnp.take(mesh.vertices, mesh.faces[:, 2], axis=0)
+        gn = jnp.cross(v1 - v0, v2 - v0)
+        gn_unit = gn / jnp.maximum(
+            jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-30)
+        cols = [
+            gn_unit,
+            jnp.take(mats.diffuse, mid_np, axis=0),
+            jnp.take(mats.emission, mid_np, axis=0),
+            jnp.take(mats.specular, mid_np, axis=0),
+            jnp.take(mats.transmittance, mid_np, axis=0),
+            jnp.take(mats.ior, mid_np)[:, None],
+            jnp.take(mats.dissolve, mid_np)[:, None],
+        ]
+        if fvn is not None:
+            cols.append(fvn.reshape(mesh.num_faces, 9))
+        face_table = jnp.concatenate(cols, axis=1)
+
+        lv0 = jnp.take(v0, lf, axis=0)
+        lv1 = jnp.take(v1, lf, axis=0)
+        lv2 = jnp.take(v2, lf, axis=0)
+        lcr = jnp.cross(lv1 - lv0, lv2 - lv0)
+        larea = 0.5 * jnp.linalg.norm(lcr, axis=-1)
+        lnorm = lcr / jnp.maximum(
+            jnp.linalg.norm(lcr, axis=-1, keepdims=True), 1e-30)
+        lem = jnp.take(mats.emission, jnp.take(mid_np, lf), axis=0)
+        light_table = jnp.concatenate(
+            [lv0, lv1, lv2, lnorm, larea[:, None], lem], axis=1)
+
     return PTScene(
         mesh=mesh,
         packed=PackedScene(
@@ -488,4 +597,6 @@ def make_pt_scene(
         ),
         light_faces=jnp.asarray(lf),
         scene8=scene8,
+        face_table=face_table,
+        light_table=light_table,
     )

@@ -48,6 +48,11 @@ from ..core.ray import Hits, Rays
 
 LANES = 128
 
+# K-list selection strategy: K-round min-extraction (True) vs
+# lax.top_k (False). Toggled module-globally so the jitted chunk fn
+# stays cacheable; measured on TPU in tools/exp_r3_inco2.py.
+_KLISTS_ITER = True
+
 
 class Treelets:
     """Frontier of internal BVH8 nodes covering the whole tree (pytree:
@@ -232,8 +237,26 @@ def _treelet_klists_chunk(org, dirs, min_t, max_t, bmin, bmax, K):
     key = jnp.where(hit, tmin, big)
     T = bmin.shape[0]
     k_eff = min(K, T)
-    neg_top, idx = jax.lax.top_k(-key, k_eff)  # ascending t_entry
-    t_entry = -neg_top
+    if _KLISTS_ITER:
+        # K-round min-extraction instead of lax.top_k: ~4 VPU ops per
+        # (R, T) element per round beats the sort-based top_k lowering
+        # for small K. Ties broken by lowest tid (argmin), which matches
+        # top_k's index order among equal keys closely enough — the
+        # sweep contract only needs the SET of entries ascending-ish;
+        # exactness never depends on tie order (module docstring).
+        iot = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
+        te_l, ti_l = [], []
+        for _ in range(k_eff):
+            m = jnp.min(key, axis=1)
+            am = jnp.argmin(key, axis=1).astype(jnp.int32)
+            te_l.append(m)
+            ti_l.append(am)
+            key = jnp.where(iot == am[:, None], big, key)
+        t_entry = jnp.stack(te_l, axis=1)
+        idx = jnp.stack(ti_l, axis=1)
+    else:
+        neg_top, idx = jax.lax.top_k(-key, k_eff)  # ascending t_entry
+        t_entry = -neg_top
     tid = jnp.where(t_entry < big, idx.astype(jnp.int32), jnp.int32(T))
     if k_eff < K:
         pad = K - k_eff
@@ -410,6 +433,8 @@ def traverse_bvh8_binned(
     n_treelets: int = 512,  # measured optimum on the 1M-tri random bench
     K: int = 8,
     sub: int = 8,
+    octant_major: bool = False,  # pack same-octant rays adjacently
+    # within each treelet bin (direction-incoherent batches)
     _complete: bool = True,  # test hook: False disables the completion
     # sweep (exposing the K-truncation miss class the sweep closes)
     **kw,
@@ -440,10 +465,13 @@ def traverse_bvh8_binned(
         lambda x: x.reshape((-1,) + x.shape[len(bs):]), rays
     )
     R = flat.org.shape[0]
-    # Morton pre-sort: stable group-sort then keeps bins spatially sorted
+    # Morton pre-sort: stable group-sort then keeps bins spatially sorted.
+    # octant_major packs same-direction rays adjacently WITHIN each
+    # treelet bin (the stable group-sort preserves this order), shrinking
+    # each packet's visited-node union for direction-incoherent batches.
     lo = jnp.min(treelets.bmin, axis=0)
     hi = jnp.max(treelets.bmax, axis=0)
-    skeys = ray_sort_keys(flat, lo, hi)
+    skeys = ray_sort_keys(flat, lo, hi, octant_major=octant_major)
     sorder = jnp.argsort(skeys)
     from ..core.rowpack import permute_rows
 

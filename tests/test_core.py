@@ -249,3 +249,44 @@ class TestRegressionAccuracyProblem30:
         )
         assert bool(valid)
         assert np.isclose(float(t), 5.0)
+
+
+# ---------------------------------------------------------------------------
+# core/rowpack: packed row permutation
+# ---------------------------------------------------------------------------
+
+
+def test_rowpack_roundtrip_and_permute():
+    from nanort_tpu.core.rowpack import pack_rows, permute_rows, unpermute_rows
+
+    R = 257
+    rng = np.random.default_rng(3)
+    tree = {
+        "f": jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32)),
+        "i": jnp.asarray(rng.integers(-(2**31), 2**31 - 1, (R,), dtype=np.int32)),
+        # uint32 with the miss sentinel: bitcast to f32 this is a NaN
+        # payload — the packed matrix must be int32 so data movement
+        # can't canonicalize it (observed on TPU gathers)
+        "u": jnp.asarray(
+            np.where(rng.random(R) < 0.5, 0xFFFFFFFF,
+                     rng.integers(0, 2**32 - 1, R)).astype(np.uint32)),
+        "b": jnp.asarray(rng.random(R) < 0.3),
+    }
+    m, unpack = pack_rows(tree)
+    assert m.dtype == jnp.int32
+    back = unpack(m)
+    for k in tree:
+        np.testing.assert_array_equal(np.asarray(back[k]), np.asarray(tree[k]))
+        assert back[k].dtype == tree[k].dtype
+
+    order = jnp.asarray(rng.permutation(R).astype(np.int32))
+    p = permute_rows(tree, order)
+    onp = np.asarray(order)
+    for k in tree:
+        np.testing.assert_array_equal(
+            np.asarray(p[k]), np.asarray(tree[k])[onp])
+    # unpermute is the exact inverse scatter
+    restored = unpermute_rows(p, order)
+    for k in tree:
+        np.testing.assert_array_equal(
+            np.asarray(restored[k]), np.asarray(tree[k]))

@@ -63,13 +63,50 @@ def test_render_statistics(scene):
     assert right[1] > right[0], f"no green bleed: {right}"
 
 
-def test_energy_decreases_without_light(scene):
-    # same scene with the light's emission zeroed -> black render
-    dark = scene._replace(
-        materials=scene.materials._replace(
-            emission=jnp.zeros_like(scene.materials.emission)
-        )
-    )
+def test_table_path_matches_gather_path(scene):
+    # PTScene.face_table/light_table are derived caches; stripping them
+    # falls back to the legacy per-field gathers. Table CONTENTS are
+    # bit-identical to the gathers (checked first); the end-to-end trace
+    # is allowed ulp-level drift only (XLA fuses the two programs
+    # differently), never branch divergence — a different lobe pick
+    # would show up as an O(1) radiance difference.
+    assert scene.face_table is not None and scene.light_table is not None
+    fid = jnp.arange(scene.mesh.num_faces, dtype=jnp.int32)
+    from nanort_tpu.models.path_tracer import _rows_by_id
+
+    rows = np.asarray(_rows_by_id(scene.face_table, fid))
+    mid = jnp.take(scene.material_ids, fid)
+    fc = jnp.take(scene.mesh.faces, fid, axis=0)
+    tri = jnp.take(scene.mesh.vertices, fc, axis=0)
+    gn = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-30)
+    np.testing.assert_array_equal(rows[:, 0:3], np.asarray(gn))
+    np.testing.assert_array_equal(
+        rows[:, 3:6], np.asarray(jnp.take(scene.materials.diffuse, mid, axis=0)))
+    np.testing.assert_array_equal(
+        rows[:, 6:9], np.asarray(jnp.take(scene.materials.emission, mid, axis=0)))
+    np.testing.assert_array_equal(
+        rows[:, 15], np.asarray(jnp.take(scene.materials.ior, mid)))
+
+    stripped = scene._replace(face_table=None, light_table=None)
+    org = jnp.zeros((128, 3), jnp.float32)
+    rng = np.random.default_rng(7)
+    d = rng.normal(size=(128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    a = np.asarray(trace_paths(scene, org, d, jax.random.PRNGKey(5), max_bounces=6))
+    b = np.asarray(trace_paths(stripped, org, d, jax.random.PRNGKey(5), max_bounces=6))
+    assert np.abs(a - b).max() <= 1e-5, np.abs(a - b).max()
+
+
+def test_energy_decreases_without_light():
+    # same scene rebuilt with the light's emission zeroed -> black render
+    # (rebuild through make_pt_scene: the shading tables are derived from
+    # the materials, so editing materials in place would go stale)
+    v, f, mids, mats = make_cornell_pt_scene()
+    mats = dict(mats)
+    mats["emission"] = np.zeros_like(np.asarray(mats["emission"]))
+    dark = make_pt_scene(v, f, mids, mats)
     org = jnp.zeros((64, 3), jnp.float32)
     rng = np.random.default_rng(0)
     d = rng.normal(size=(64, 3)).astype(np.float32)
