@@ -140,9 +140,17 @@ def _revised_onb(n):
     return b1, b2
 
 
-def _cosine_dir(key, n):
-    u1 = jax.random.uniform(key, n.shape[:-1], jnp.float32)
-    phi = jax.random.uniform(jax.random.fold_in(key, 1), n.shape[:-1], jnp.float32) * (2.0 * jnp.pi)
+def _cosine_dir(key, n, u2=None):
+    """Cosine-hemisphere direction about n. ``u2``: optional pre-drawn
+    (..., 2) uniforms (the bounce loop batches all its draws into one
+    threefry dispatch)."""
+    if u2 is not None:
+        u1, phi = u2[..., 0], u2[..., 1] * (2.0 * jnp.pi)
+    else:
+        u1 = jax.random.uniform(key, n.shape[:-1], jnp.float32)
+        phi = jax.random.uniform(
+            jax.random.fold_in(key, 1), n.shape[:-1], jnp.float32
+        ) * (2.0 * jnp.pi)
     r = jnp.sqrt(u1)
     x = r * jnp.cos(phi)
     y = r * jnp.sin(phi)
@@ -151,7 +159,7 @@ def _cosine_dir(key, n):
     return b1 * x[..., None] + b2 * y[..., None] + n * z[..., None]
 
 
-def _sample_light(scene: PTScene, key, x):
+def _sample_light(scene: PTScene, key, x, u2=None):
     """MeshLight::sampleDirect (main.cc:336-397). Returns (dir, dist, pdf,
     radiance)."""
     lf = scene.light_faces
@@ -161,8 +169,12 @@ def _sample_light(scene: PTScene, key, x):
         z3 = jnp.zeros(x.shape, jnp.float32)
         z1 = jnp.zeros(x.shape[:-1], jnp.float32)
         return z3, z1, z1, z3
-    xi1 = jax.random.uniform(key, x.shape[:-1], jnp.float32)
-    xi2 = jax.random.uniform(jax.random.fold_in(key, 1), x.shape[:-1], jnp.float32)
+    if u2 is not None:
+        xi1, xi2 = u2[..., 0], u2[..., 1]
+    else:
+        xi1 = jax.random.uniform(key, x.shape[:-1], jnp.float32)
+        xi2 = jax.random.uniform(
+            jax.random.fold_in(key, 1), x.shape[:-1], jnp.float32)
     fidx = jnp.minimum((xi1 * nl).astype(jnp.int32), nl - 1)
     xi1 = xi1 * nl - fidx
     pick_pdf = 1.0 / nl
@@ -271,10 +283,13 @@ def trace_paths(
     def bounce(b, st):
         k = jax.random.fold_in(key, b)
         alive = st["alive"]
+        # ALL of this bounce's uniforms in one threefry dispatch
+        # (columns: rr, lobe pick, light xi1/xi2, cosine u1/phi)
+        U = jax.random.uniform(jax.random.fold_in(k, 9), (R, 6), jnp.float32)
 
         # Russian roulette (main.cc:828-838)
         rr_apply = b > rr_start
-        rr_rand = jax.random.uniform(jax.random.fold_in(k, 10), (R,), jnp.float32)
+        rr_rand = U[:, 0]
         killed = rr_apply & (rr_rand < 0.2)
         alive = alive & ~killed
         rr_fac = jnp.where(rr_apply, 1.0 / (1.0 - 0.2), 1.0)
@@ -363,14 +378,15 @@ def trace_paths(
             rho_s / tot, rho_d / tot, rho_r / tot, rho_e / tot,
         )
 
-        rand = jax.random.uniform(jax.random.fold_in(k, 11), (R,), jnp.float32)
+        rand = U[:, 1]
         pick_s = rand < rho_s
         pick_d = ~pick_s & (rand < rho_s + rho_d)
         pick_r = ~pick_s & ~pick_d & (rand < rho_s + rho_d + rho_r)
         pick_e = ~pick_s & ~pick_d & ~pick_r
 
         # --- NEE on the diffuse lobe (main.cc:938-957) ---
-        ldir, ldist, lpdf, lrad = _sample_light(scene, jax.random.fold_in(k, 12), p)
+        ldir, ldist, lpdf, lrad = _sample_light(
+            scene, jax.random.fold_in(k, 12), p, u2=U[:, 2:4])
         shadow_max = jnp.maximum(ldist - ray_eps, 0.0)
         nee_active = hit & pick_d & (lpdf > 0.0) & ~absorbed
         sh = _trace(
@@ -399,7 +415,7 @@ def trace_paths(
 
         # --- next direction & weight ---
         out_s = _reflect(st["dir"], norm)
-        out_d = _cosine_dir(jax.random.fold_in(k, 13), norm)
+        out_d = _cosine_dir(jax.random.fold_in(k, 13), norm, u2=U[:, 4:6])
         out_r = _refract(st["dir"], -inside[..., None] * original_norm, n1)
         new_dir = jnp.where(
             pick_s[..., None], out_s,
