@@ -142,7 +142,7 @@ def main():
         # primaries share a shear axis and one origin -> static-lane leaf
         # tests + scalar origin terms, measured +17% wt / +8% woop with
         # ZERO record bit-diffs on this exact workload
-        spec = detect_specialization(rays_t)
+        spec = detect_specialization(rays_t, sub=sub)
         print(f"# specialization: {spec}", file=sys.stderr)
 
         if engine == "turbo":

@@ -93,7 +93,7 @@ def main():
             ("watertight", 32, (128, 64), False),
         ):
             rays_t, _ = tile_image_rays(rays, *tile)
-            spec = detect_specialization(rays_t)
+            spec = detect_specialization(rays_t, sub=sub)
             kw = dict(intersector="woop", sub=sub,
                       specialize=(None, spec[1]) if spec else None) \
                 if woop else dict(sub=sub, specialize=spec)
@@ -279,8 +279,8 @@ def main():
         cam = look_at(eye=(0, 0, 2.2), center=(0, 0, 0),
                       width=res, height=res, fov=60.0)
         rays_t, _ = tile_image_rays(pinhole_rays(cam), min(128, res), 32)
-        spec_t = detect_specialization(rays_t)
         sub_t = 16
+        spec_t = detect_specialization(rays_t, sub=sub_t)
 
         def time_traverse(s8t):
             h = traverse_bvh8(s8t, rays_t, specialize=spec_t, sub=sub_t)

@@ -86,6 +86,7 @@ def _kernel_body(
     flag_zero_edges: bool = False,
     kz_static: int | None = None,
     shared_origin: bool = False,
+    uniform_sign: bool = False,
     width: int = 8,
     nodes_hi_ref=None,
     leafs_hi_ref=None,
@@ -154,6 +155,19 @@ def _kernel_body(
 
     ix, iy, iz = safe_inv2(dx), safe_inv2(dy), safe_inv2(dz)
     nx, ny, nz = dx < 0, dy < 0, dz < 0
+    if uniform_sign:
+        # every LIVE ray of each packet shares its direction octant
+        # (detect_specialization verified it; per-packet sign flags ride
+        # pkt_ref lanes 23-25): the slab bound selection becomes SCALAR
+        # selects between the two scalar bounds — 6 fewer vector selects
+        # per child test. Dead / sanitized rays may disagree with the
+        # packet sign, but their slab interval is empty by construction
+        # (min_t=+inf or max_t<min_t), so their vote is false either way.
+        snx = pkt_ref[0, 23] > 0.5
+        sny = pkt_ref[0, 24] > 0.5
+        snz = pkt_ref[0, 25] > 0.5
+    else:
+        snx, sny, snz = nx, ny, nz
 
     def comp(vx, vy, vz, k):
         return jnp.where(k == 0, vx, jnp.where(k == 1, vy, vz))
@@ -463,19 +477,19 @@ def _kernel_body(
                 # subtractions of the exact same f32 values, so the
                 # selected per-ray slab distances are bit-identical to
                 # the select-then-subtract vector form
-                t0x = jnp.where(nx, b1x - osx, b0x - osx) * ix
-                t0y = jnp.where(ny, b1y - osy, b0y - osy) * iy
-                t0z = jnp.where(nz, b1z - osz, b0z - osz) * iz
-                t1x = jnp.where(nx, b0x - osx, b1x - osx) * ix * MM
-                t1y = jnp.where(ny, b0y - osy, b1y - osy) * iy * MM
-                t1z = jnp.where(nz, b0z - osz, b1z - osz) * iz * MM
+                t0x = jnp.where(snx, b1x - osx, b0x - osx) * ix
+                t0y = jnp.where(sny, b1y - osy, b0y - osy) * iy
+                t0z = jnp.where(snz, b1z - osz, b0z - osz) * iz
+                t1x = jnp.where(snx, b0x - osx, b1x - osx) * ix * MM
+                t1y = jnp.where(sny, b0y - osy, b1y - osy) * iy * MM
+                t1z = jnp.where(snz, b0z - osz, b1z - osz) * iz * MM
             else:
-                lox = jnp.where(nx, b1x, b0x)
-                hix = jnp.where(nx, b0x, b1x)
-                loy = jnp.where(ny, b1y, b0y)
-                hiy = jnp.where(ny, b0y, b1y)
-                loz = jnp.where(nz, b1z, b0z)
-                hiz = jnp.where(nz, b0z, b1z)
+                lox = jnp.where(snx, b1x, b0x)
+                hix = jnp.where(snx, b0x, b1x)
+                loy = jnp.where(sny, b1y, b0y)
+                hiy = jnp.where(sny, b0y, b1y)
+                loz = jnp.where(snz, b1z, b0z)
+                hiz = jnp.where(snz, b0z, b1z)
                 t0x = (lox - ox) * ix
                 t0y = (loy - oy) * iy
                 t0z = (loz - oz) * iz
@@ -830,6 +844,7 @@ def _make_kernel(
     flag_zero_edges: bool = False,
     kz_static: int | None = None,
     shared_origin: bool = False,
+    uniform_sign: bool = False,
     node_split: int = 0,
     leaf_split: int = 0,
     width: int = 8,
@@ -857,6 +872,7 @@ def _make_kernel(
         flag_zero_edges=flag_zero_edges,
         kz_static=kz_static,
         shared_origin=shared_origin,
+        uniform_sign=uniform_sign,
         width=width,
         n_node_lo=node_split,
         n_leaf_lo=leaf_split,
@@ -1099,7 +1115,8 @@ def traverse_bvh8(
             raise ValueError("woop rows hold <= 9 triangles; rebuild "
                              "with max_leaf_primitives<=9")
         exact_edge = False
-    # specialize: (kz_static, shared_origin) whole-batch specialization
+    # specialize: (kz_static, shared_origin[, uniform_sign]) whole-batch
+    # specialization
     # (see detect_specialization). kz_static collapses the watertight
     # comp() selects to static lanes; shared_origin scalarizes the
     # vertex/bound-minus-origin terms. Both are bit-exact rewrites of
@@ -1108,8 +1125,10 @@ def traverse_bvh8(
     # detect_specialization to check on device).
     kz_static = None
     shared_origin = False
+    uniform_sign = False
     if specialize is not None:
-        kz_static, shared_origin = specialize
+        (kz_static, shared_origin, uniform_sign) = (
+            tuple(specialize) + (False,))[:3]
         if kz_static not in (None, 0, 1, 2):
             raise ValueError(f"kz_static must be None/0/1/2: {kz_static}")
         if intersector == "woop" or (
@@ -1257,9 +1276,20 @@ def traverse_bvh8(
         )
     else:
         org_row = jnp.zeros((n_packets, 3), jnp.float32)
+    if uniform_sign:
+        # per-packet direction-sign flags over LIVE rays (lanes 23-25);
+        # dead (max_t <= min_t, incl. tail padding) rays are excluded —
+        # their slab vote is empty-interval false under either sign
+        live = maxt > mint
+        sgn = lambda dc: jnp.max(
+            jnp.where(live & (dc < 0), 1.0, 0.0), axis=(1, 2)
+        )[:, None]
+        sign_row = jnp.concatenate([sgn(dx), sgn(dy), sgn(dz)], axis=1)
+    else:
+        sign_row = jnp.zeros((n_packets, 3), jnp.float32)
     pkt_arr = jnp.concatenate(
         [pkt_arr, roots_f, jnp.zeros((n_packets, 3), jnp.float32),
-         org_row, jnp.zeros((n_packets, LANES - 23), jnp.float32)],
+         org_row, sign_row, jnp.zeros((n_packets, LANES - 26), jnp.float32)],
         axis=1,
     ).reshape(n_packets, 1, LANES)
     nodes_arr = jnp.asarray(scene.nodes)
@@ -1308,6 +1338,7 @@ def traverse_bvh8(
         _flag_zero_edges,
         kz_static,
         shared_origin,
+        uniform_sign,
         n_node_lo,
         n_leaf_lo,
         width,
@@ -1349,7 +1380,7 @@ def traverse_bvh8(
     return hits
 
 
-def detect_specialization(rays: Rays) -> tuple | None:
+def detect_specialization(rays: Rays, sub: int | None = None) -> tuple | None:
     """Check (on device, a few scalar readbacks) whether a concrete ray
     batch qualifies for the bit-exact kernel specializations:
 
@@ -1359,12 +1390,19 @@ def detect_specialization(rays: Rays) -> tuple | None:
       e.g. the 60-degree bench pinhole.
     * ``shared_origin``: every live ray has the exact same origin
       (pinhole primaries).
+    * ``uniform_sign`` (checked only when ``sub`` — the packet size the
+      batch will traverse with — is given): every live ray WITHIN each
+      ``sub*128``-ray packet shares its direction octant, so the slab
+      bound selection runs on the scalar unit (6 fewer vector selects
+      per child test). True for pinhole primaries in power-of-two pixel
+      tiles: the sign-flip lines land on tile boundaries.
 
     Degenerate rays (the kernel sanitizes them into guaranteed misses)
-    are excluded from both checks. Returns ``(kz | None, shared: bool)``
-    to pass as ``traverse_bvh8(..., specialize=...)``, or None when
-    neither property holds. Call ONCE per batch outside any timing loop:
-    each check is a full device reduction over the batch.
+    and dead rays (max_t <= min_t) are excluded from the sign check.
+    Returns ``(kz | None, shared: bool[, uniform_sign: bool])`` to pass
+    as ``traverse_bvh8(..., specialize=...)``, or None when no property
+    holds. Call ONCE per batch outside any timing loop: each check is a
+    full device reduction over the batch.
     """
     org = jnp.asarray(rays.org, jnp.float32).reshape(-1, 3)
     d = jnp.asarray(rays.dir, jnp.float32).reshape(-1, 3)
@@ -1388,9 +1426,30 @@ def detect_specialization(rays: Rays) -> tuple | None:
         return None
     kz_val = int(kz[first]) if bool(kz_uniform) else None
     shared_b = bool(shared)
-    if kz_val is None and not shared_b:
+    if sub is None:
+        if kz_val is None and not shared_b:
+            return None
+        return (kz_val, shared_b)
+    # per-packet sign uniformity over live rays, with the same packet
+    # partition traverse_bvh8 will use (flat order, tail-padded)
+    packet = sub * LANES
+    R = d.shape[0]
+    n_pk = -(-R // packet)
+    pad = n_pk * packet - R
+    live = ok & (
+        jnp.asarray(rays.max_t).reshape(-1)
+        > jnp.asarray(rays.min_t).reshape(-1)
+    )
+    live_p = jnp.pad(live, (0, pad)).reshape(n_pk, packet)
+    usign = True
+    for a in range(3):
+        neg = jnp.pad(d[:, a] < 0, (0, pad)).reshape(n_pk, packet)
+        any_n = jnp.any(neg & live_p, axis=1)
+        all_n = ~jnp.any(~neg & live_p, axis=1)
+        usign = usign & bool(jnp.all(any_n == all_n))
+    if kz_val is None and not shared_b and not usign:
         return None
-    return (kz_val, shared_b)
+    return (kz_val, shared_b, bool(usign))
 
 
 def traverse_bvh8_exact(

@@ -91,8 +91,8 @@ def main():
     cam = look_at(eye=(0, 0, 2.2), center=(0, 0, 0),
                   width=res, height=res, fov=60.0)
     rays_t, _ = tile_image_rays(pinhole_rays(cam), 128, 32)
-    spec = detect_specialization(rays_t)
     sub = 16
+    spec = detect_specialization(rays_t, sub=sub)
 
     def run():
         h = traverse_bvh8(sd, rays_t, specialize=spec, sub=sub)

@@ -60,10 +60,13 @@ def main():
 
     hits0 = {}
 
-    def bench(tag, s8, sub, tile_h, refkey=None, **kw):
+    def bench(tag, s8, sub, tile_h, refkey=None, spec_override=None, **kw):
         tile_w = min((8 * sub * 32) // tile_h, res)
         rays_t, _ = tile_image_rays(pinhole_rays(cam), tile_h, tile_w)
-        spec = detect_specialization(rays_t)
+        spec = detect_specialization(rays_t, sub=sub)
+        log(f"{tag} spec={spec}")
+        if spec_override is not None:
+            spec = spec_override(spec)
 
         def go():
             h = traverse_bvh8(s8, rays_t, sub=sub, specialize=spec, **kw)
@@ -85,10 +88,14 @@ def main():
         log(f"{tag}: {RES[tag]} Mrays/s {[round(x*1e3) for x in ts]} ms")
         print(json.dumps(RES), flush=True)
 
-    # safe first
+    # safe first: uniform_sign OFF baselines (r2-comparable), then ON
+    nosign = lambda s: (s[0], s[1], False)
     sw = tables(False)
+    bench("wt16_nosign", sw, 32, 128, refkey="wt", spec_override=nosign)
     bench("wt16_base", sw, 32, 128, refkey="wt")
     s8w = tables(True)
+    bench("woop16_nosign", s8w, 64, 256, intersector="woop", refkey="woop",
+          spec_override=nosign)
     bench("woop16_base", s8w, 64, 256, intersector="woop", refkey="woop")
     # fault-risky LAST (lq_cap>2, VMEM scene)
     bench("woop16_lq3", s8w, 64, 256, intersector="woop", lq_cap=3,
