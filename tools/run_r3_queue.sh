@@ -18,10 +18,10 @@ run() {
   echo "=== $name rc=$? end $(date)" >> tools/logs/r3_queue.log
 }
 
+run exp_r3_head
 run exp_r3_ptprof
 run exp_r3_configB
 run exp_r3_inco2
 run exp_r3_ao
 run exp_r3_devbuild5
-run exp_r3_head
 echo "QUEUE DONE $(date)" >> tools/logs/r3_queue.log
