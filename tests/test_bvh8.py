@@ -381,3 +381,47 @@ def test_dense16_axis_folding_roundtrip():
             got_axis = 2 if lane >= 32 else (1 if lane >= 16 else 0)
             assert got_axis == axis
             assert int(lane) & 15 == cnt
+
+
+def test_detect_specialization_flags():
+    """Camera primaries in power-of-two tiles: shared origin + static kz
+    + per-packet uniform signs; random batches: none of the three."""
+    from nanort_tpu.models.cameras import look_at, pinhole_rays
+    from nanort_tpu.traverse.pallas_packet import (
+        detect_specialization, tile_image_rays,
+    )
+    from nanort_tpu.core.ray import Rays
+    import jax.numpy as jnp
+
+    cam = look_at(eye=(0, 0, 2.2), center=(0, 0, 0),
+                  width=256, height=256, fov=60.0)
+    rays_t, _ = tile_image_rays(pinhole_rays(cam), 128, 32)
+    spec = detect_specialization(rays_t, sub=32)
+    assert spec is not None and len(spec) == 3
+    kz, shared, usign = spec
+    assert kz == 2 and shared and usign
+    # 2-tuple back-compat without sub
+    spec2 = detect_specialization(rays_t)
+    assert spec2 == (2, True)
+
+    # random directions: no uniform signs per packet, no shared origin
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(64 * 128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = rng.uniform(-1, 1, (64 * 128, 3)).astype(np.float32)
+    r = Rays(org=jnp.asarray(o), dir=jnp.asarray(d),
+             min_t=jnp.zeros(64 * 128, jnp.float32),
+             max_t=jnp.full((64 * 128,), 1e30, jnp.float32))
+    s3 = detect_specialization(r, sub=8)
+    assert s3 is None or (s3[1] is False and s3[2] is False)
+
+    # dead rays don't break uniformity: one packet all-positive live
+    # rays + dead rays with negative dirs
+    dd = np.tile(np.asarray([[1.0, 0.5, 0.25]], np.float32), (1024, 1))
+    dd[512:] = [-1.0, -0.5, -0.25]
+    maxt = np.full(1024, 1e30, np.float32)
+    maxt[512:] = -1.0  # dead (max_t < min_t = 0)
+    r2 = Rays(org=jnp.zeros((1024, 3), jnp.float32), dir=jnp.asarray(dd),
+              min_t=jnp.zeros(1024, jnp.float32), max_t=jnp.asarray(maxt))
+    s4 = detect_specialization(r2, sub=8)
+    assert s4 is not None and s4[2] is True
