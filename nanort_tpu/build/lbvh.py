@@ -72,59 +72,84 @@ def _clz32(x):
     return 32 - jax.lax.population_count(x).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _karras_topology(codes, n: int):
-    """(first, last, split) per internal node over sorted codes.
-
-    Karras'12 formulated per-node galloping + two binary searches over
-    pairwise common-prefix lengths (~150 scalar gathers of the code
-    array at 10M tris — the build's second-largest cost). This uses the
-    LCP composition property instead: with D[k] = delta(k, k+1) over
-    ADJACENT sorted codes (one vectorized pass, no gathers),
-    delta(a, b) == min D[a..b-1], so
-
-      * the range end is a greedy aligned sparse-table descent — ONE
-        table gather per bit of range length, and
-      * the split is the LEFTMOST ARGMIN of D over the node range —
-        one O(1) range-min query of a (value << 25 | index) key whose
-        low bits carry the position.
-
-    Duplicate codes keep Karras's index tie-break: D embeds
-    32 + clz(k ^ (k+1)) exactly as the pairwise delta did, and the
-    min-composition holds for the augmented keys because indices are
-    strictly increasing. Results are identical to the reference
-    formulation (nanort.h has no LBVH; this matches Karras directly).
-    """
+def _morton_deltas(codes, n: int):
+    """Adjacent-pair deltas D[k] = delta(k, k+1) over sorted codes
+    (common-prefix length; duplicate codes tie-broken by index exactly
+    as Karras's pairwise delta, values in [0, 64])."""
     i32 = jnp.int32
     m = n - 1
-    if m >= (1 << 25):
-        raise ValueError("argmin key packs indices into 25 bits")
     i = jnp.arange(m, dtype=i32)
-
-    # adjacent deltas, slices only
     x = codes[:-1] ^ codes[1:]
-    D = jnp.where(
+    return jnp.where(
         x == 0,
         32 + _clz32(i.astype(jnp.uint32) ^ (i + 1).astype(jnp.uint32)),
         _clz32(x),
     ).astype(i32)
 
-    # per-level sparse min-tables over D, int8 (D <= 95), padded with -1
-    # so out-of-range windows FAIL the `> dmin` test. Levels stay
-    # separate arrays: every descent iteration uses one STATIC level, so
-    # no flattened copy is ever materialized (~1 GB saved at 10M tris).
+
+# int8 sentinels for the sparse-table descent. Real deltas live in
+# [D_FLOOR+3, 64]: Morton deltas are >= 0; agglomerative boundary
+# overrides (hybrid_deltas) go down to -(I_SA + log2 rounds + 2).
+_D_PAD = np.int8(-128)   # out-of-range table pad: fails every `> dmin`
+_D_EDGE = np.int8(-125)  # virtual delta outside [0, n): below all real
+D_FLOOR = -120           # overrides must stay above this
+
+
+def _karras_topology(codes, n: int):
+    """(first, last, split) per internal node over sorted codes — the
+    Cartesian-tree-of-deltas formulation (see _topology_from_deltas).
+    Results are identical to Karras'12 (nanort.h has no LBVH; this
+    matches Karras directly)."""
+    return _topology_from_deltas(_morton_deltas(codes, n), n)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _topology_from_deltas(D, n: int):
+    """(first, last, split) per internal node of the binary tree over
+    contiguous ranges of the sorted array defined by the adjacent-delta
+    array ``D`` (n-1,): every node splits at the LEFTMOST minimum delta
+    of its range (the Cartesian tree of D), the standard Karras'12
+    contract generalized to ARBITRARY deltas in [D_FLOOR+3, 64] — e.g.
+    hybrid_deltas' negative agglomerative boundary overrides.
+
+    Karras'12 formulated per-node galloping + two binary searches over
+    pairwise deltas (~150 scalar gathers of the code array at 10M
+    tris). This uses the min-composition property instead — delta(a, b)
+    == min D[a..b-1] — so
+
+      * the range end is a greedy aligned sparse-table descent — ONE
+        table gather per bit of range length, and
+      * the split is a second descent from ``first`` extending while
+        the window min stays above the node delta.
+
+    Node indexing: internal node i has i as one of its range endpoints;
+    children of the node splitting at s are internal nodes s (left,
+    range [first, s]) and s+1 (right, [s+1, last]) — the endpoint
+    bijection every downstream consumer (device_collapse, build_lbvh)
+    relies on.
+    """
+    i32 = jnp.int32
+    m = n - 1
+    i = jnp.arange(m, dtype=i32)
+
+    # per-level sparse min-tables over D, int8 (real deltas fit), padded
+    # with _D_PAD so out-of-range windows FAIL the `> dmin` test. Levels
+    # stay separate arrays: every descent iteration uses one STATIC
+    # level, so no flattened copy is ever materialized (~1 GB at 10M).
     n_lv = max(int(m).bit_length(), 1)
     levels = [D.astype(jnp.int8)]
     for k in range(1, n_lv):
         s = 1 << (k - 1)
         t = levels[-1]
-        ext = jnp.full_like(t, np.int8(-1))
+        ext = jnp.full_like(t, _D_PAD)
         if s < m:
             ext = ext.at[: m - s].set(t[s:])
         levels.append(jnp.minimum(t, ext))
 
     dp1 = D  # delta(i, i+1)
-    dm1 = jnp.where(i > 0, jnp.concatenate([D[:1], D[:-1]]), -1)
+    dm1 = jnp.where(
+        i > 0, jnp.concatenate([D[:1], D[:-1]]), i32(_D_EDGE)
+    )
     d = jnp.where(dp1 >= dm1, 1, -1).astype(i32)  # ties go right (Karras)
     dmin = jnp.where(d > 0, dm1, dp1)
 
@@ -164,6 +189,119 @@ def _karras_topology(codes, n: int):
         sl = jnp.where(v > dnode, sl + w, sl)
     split = first + sl
     return first, last, split
+
+
+@functools.partial(jax.jit, static_argnames=("n", "C", "i_sa"))
+def hybrid_deltas(codes, sorted_lo, sorted_hi, n: int, C: int = 32,
+                  i_sa: int = 88):
+    """Adjacent-delta array whose Cartesian tree is a HYBRID topology:
+    a surface-area-greedy agglomerative tree over Morton-ordered
+    clusters of ``C`` prims at the TOP, Karras/Morton topology within
+    clusters. Feed to _topology_from_deltas.
+
+    MEASURED NEGATIVE RESULT (round 3, do not re-try blindly): on a
+    uv-sphere and a random-triangle scene, this agglomerative top tree
+    scores ~20% WORSE true SAH cost than plain Karras (sphere 73.1 vs
+    60.1; the sequential exact-greedy oracle matches the vectorized
+    result bit-for-bit, so it is the algorithm, not the code), and a
+    top-down SAH sweep restricted to every-C-th split position is
+    equally worse (74.5). Interpretation: for trees constrained to
+    contiguous Morton-order ranges, Karras's highest-bit split IS a
+    spatial median cut and is already near-optimal at the top; the
+    LBVH-vs-SAH quality gap lives in the primitive ORDER, not the
+    split choice. Kept as tested machinery for arbitrary-delta
+    topologies (and for orders other than Morton, where a data-driven
+    top tree may win).
+
+    The agglomeration runs over nc = ceil(n/C) cluster slots as a
+    doubly-linked list: each round, every adjacent pair (i, next(i))
+    whose merged surface area is a strict lexicographic local minimum
+    (ties by index) merges; the boundary consumed at global step t gets
+    delta -(t+2). Ancestor boundaries merge later -> smaller deltas, so
+    the Cartesian tree reproduces the agglomerative hierarchy exactly
+    (two same-step boundaries are always separated by a later one).
+    ``i_sa`` SA-guided rounds are followed by ceil(log2(nc))+1 forced
+    parity-merge rounds, so the process always terminates with every
+    boundary consumed inside the int8 delta floor (asserted)."""
+    D = _morton_deltas(codes, n)
+    nc = -(-n // C)
+    if nc <= 1:
+        return D
+    i32 = jnp.int32
+    f32 = jnp.float32
+    BIG = f32(3.0e38)
+    tail = max(int(nc - 1).bit_length(), 1) + 1
+    if i_sa + tail + 2 > -D_FLOOR - 3:
+        raise ValueError("i_sa too large for the int8 delta floor")
+
+    m = jnp.concatenate([sorted_lo, -sorted_hi], axis=1)  # (n, 6) min-form
+    pad = nc * C - n
+    mp = jnp.concatenate(
+        [m, jnp.full((pad, 6), BIG, f32)]).reshape(nc, C, 6)
+    box0 = mp.min(axis=1)  # (nc, 6)
+
+    idx = jnp.arange(nc, dtype=i32)
+    st0 = dict(
+        box=box0,
+        nxt=idx + 1,            # nc == none
+        prv=idx - 1,            # -1 == none
+        last=idx,               # cluster-unit end of slot's range
+        alive=jnp.ones(nc, bool),
+        t_of=jnp.zeros(max(nc - 1, 1), i32),
+    )
+
+    def sa_of(mrow):
+        lo = mrow[:, 0:3]
+        hi = -mrow[:, 3:6]
+        d = jnp.maximum(hi - lo, 0.0)
+        return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+    def round_(t, st, forced):
+        box, nxt, prv, last, alive, t_of = (
+            st["box"], st["nxt"], st["prv"], st["last"], st["alive"],
+            st["t_of"])
+        j = jnp.minimum(nxt, nc - 1)
+        has_next = alive & (nxt < nc)
+        ub = jnp.minimum(box, jnp.take(box, j, axis=0))
+        cost = jnp.where(has_next, sa_of(ub), jnp.inf)
+        if forced:
+            rank = jnp.cumsum(alive.astype(i32)) - 1
+            merge = has_next & (rank % 2 == 0)
+        else:
+            def less(ca, ia, cb, ib):
+                return (ca < cb) | ((ca == cb) & (ia < ib))
+            pc = jnp.where(
+                prv >= 0, jnp.take(cost, jnp.maximum(prv, 0)), jnp.inf)
+            nk = jnp.take(cost, j)  # cost of the pair starting at j
+            merge = (
+                has_next
+                & less(cost, idx, pc, jnp.maximum(prv, 0))
+                & less(cost, idx, nk, j)
+            )
+        # consume boundary last[i] at step t (last[i] <= nc-2 whenever
+        # has_next holds; non-merging rows scatter out of range -> drop)
+        t_of = t_of.at[jnp.where(merge, last, nc)].set(t, mode="drop")
+        box = jnp.where(merge[:, None], ub, box)
+        last = jnp.where(merge, jnp.take(last, j), last)
+        new_next = jnp.where(merge, jnp.take(nxt, j), nxt)
+        # kill right partners, relink
+        dead = jnp.zeros(nc, bool).at[jnp.where(merge, j, nc)
+                                      ].set(True, mode="drop")
+        alive = alive & ~dead
+        nxt = new_next
+        prv = prv.at[jnp.where(merge, jnp.minimum(new_next, nc - 1), nc)
+                     ].set(idx, mode="drop")
+        return dict(box=box, nxt=nxt, prv=prv, last=last, alive=alive,
+                    t_of=t_of)
+
+    st = jax.lax.fori_loop(
+        0, i_sa, lambda t, s: round_(t, s, False), st0)
+    st = jax.lax.fori_loop(
+        i_sa, i_sa + tail, lambda t, s: round_(t, s, True), st)
+
+    t_of = st["t_of"][: nc - 1]
+    bidx = (jnp.arange(nc - 1, dtype=i32) + 1) * C - 1
+    return D.at[bidx].set(-(t_of + 2))
 
 
 @functools.partial(jax.jit, static_argnames=("n", "max_leaf"))

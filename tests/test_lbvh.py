@@ -69,3 +69,47 @@ def test_lbvh_tiny():
     bmin, bmax, ctr = triangle_prim_bounds(mesh)
     bvh, _ = build_lbvh(bmin, bmax, ctr)
     assert bvh.num_nodes == 1 and bvh.flag[0] == 1
+
+
+def test_topology_from_arbitrary_deltas():
+    """_topology_from_deltas generalizes Karras to ANY delta array:
+    hybrid_deltas' negative agglomerative boundary overrides must still
+    yield a valid contiguous-range binary tree under the endpoint-index
+    bijection (root at 0, children at split/split+1)."""
+    import jax.numpy as jnp
+
+    from nanort_tpu.build.lbvh import (
+        _topology_from_deltas, hybrid_deltas, morton_codes,
+    )
+    from nanort_tpu.io.procedural import make_random_triangles
+
+    v, f = make_random_triangles(5000, seed=7)
+    v = jnp.asarray(v)
+    f = jnp.asarray(f)
+    v0, v1, v2 = (jnp.take(v, f[:, k], axis=0) for k in range(3))
+    lo = jnp.minimum(jnp.minimum(v0, v1), v2)
+    hi = jnp.maximum(jnp.maximum(v0, v1), v2)
+    n = int(f.shape[0])
+    codes = morton_codes(0.5 * (lo + hi), lo.min(0), hi.max(0))
+    order = jnp.argsort(codes).astype(jnp.int32)
+    codes_s = jnp.take(codes, order)
+    slo = jnp.take(lo, order, axis=0)
+    shi = jnp.take(hi, order, axis=0)
+
+    D = np.asarray(hybrid_deltas(codes_s, slo, shi, n, C=32))
+    # every cluster boundary got a negative override (the agglomeration
+    # terminated and consumed all boundaries)
+    bidx = (np.arange(-(-n // 32) - 1) + 1) * 32 - 1
+    assert (D[bidx] < 0).all()
+    assert D.min() >= -120
+
+    first, last, split = (
+        np.asarray(x) for x in _topology_from_deltas(jnp.asarray(D), n))
+    assert first[0] == 0 and last[0] == n - 1
+    assert ((first <= split) & (split < last)).all()
+    for i in np.random.default_rng(0).choice(n - 1, 1500, replace=False):
+        s = split[i]
+        if s > first[i]:
+            assert first[s] == first[i] and last[s] == s
+        if s + 1 < last[i]:
+            assert first[s + 1] == s + 1 and last[s + 1] == last[i]
