@@ -38,6 +38,7 @@ import numpy as np
 
 from .bvh8 import BVH8Scene, EMPTY_BIG, MAX_LEAF_TRIS
 from .lbvh import MAX_DEPTH, _karras_topology, morton_codes
+from ..ops.triangle import _exact_prod_diff
 
 _I32MAX = np.int32(2**31 - 1)
 
@@ -299,13 +300,59 @@ def _phase_a(vertices, faces, n: int, max_leaf: int, K: int):
             nw, n_rows, wide_depth)
 
 
+def _woop_rows(tris, pids, max_leaf: int, nrows_pad: int):
+    """Woop unit-triangle transform rows from per-slot gathered
+    triangles: same layout as ``build_woop_leafs`` (12 f32 per tri —
+    [M row-major | anchor p0] at lanes 12t, prim ids at lane 108+t).
+
+    The host builder computes M in f64 (bvh8._woop_transforms_from);
+    here the cross products run as Dekker two-product differences in
+    f32 (exact to one rounding each), so entries agree with the
+    f64-then-round path to ~1-2 ulp — inside the turbo intersector's
+    documented deviation envelope (it is not the parity engine).
+    """
+    f32 = jnp.float32
+
+    def cross_exact(x, y):
+        return (
+            _exact_prod_diff(x[1], y[2], x[2], y[1]),
+            _exact_prod_diff(x[2], y[0], x[0], y[2]),
+            _exact_prod_diff(x[0], y[1], x[1], y[0]),
+        )
+
+    parts = []
+    for t in range(max_leaf):
+        g = tris[t]  # (nrows_pad, 9) = p0 p1 p2
+        p0 = tuple(g[:, k] for k in range(3))
+        e1 = tuple(g[:, 3 + k] - g[:, k] for k in range(3))
+        e2 = tuple(g[:, 6 + k] - g[:, k] for k in range(3))
+        nrm = cross_exact(e1, e2)
+        det = nrm[0] * nrm[0] + nrm[1] * nrm[1] + nrm[2] * nrm[2]
+        ok = det > 0.0
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+        r0 = cross_exact(e2, nrm)
+        r1 = cross_exact(nrm, e1)
+        cols = (
+            [r0[k] * inv for k in range(3)]
+            + [r1[k] * inv for k in range(3)]
+            + [nrm[k] * inv for k in range(3)]
+            + list(p0)
+        )
+        parts.append(jnp.stack(cols, axis=1).astype(f32))
+    pad = jnp.zeros((nrows_pad, 108 - 12 * max_leaf), f32)
+    pid_block = jnp.stack(pids, axis=1).astype(f32)
+    tail = jnp.zeros((nrows_pad, 128 - 108 - max_leaf), f32)
+    return jnp.concatenate(parts + [pad, pid_block, tail], axis=1)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "width", "max_leaf", "nw_pad", "nrows_pad"))
+    static_argnames=("n", "width", "max_leaf", "nw_pad", "nrows_pad",
+                     "woop"))
 def _phase_b(vertices, faces, order, sp, s_meta, s_cnt, s_a, s_leaf,
              leaf_rank, sboxes, node_axis,
              n: int, width: int, max_leaf: int,
-             nw_pad: int, nrows_pad: int):
+             nw_pad: int, nrows_pad: int, woop: bool = False):
     """Static-shape table fill: gather child records into node rows,
     gather morton-ordered triangles into leaf rows. No scatters touch
     the tables — every write is a full column (the sort in phase A
@@ -369,7 +416,10 @@ def _phase_b(vertices, faces, order, sp, s_meta, s_cnt, s_a, s_leaf,
             + [jnp.stack(pids, axis=1)]
             + [jnp.zeros((nrows_pad, 128 - 90 - max_leaf), f32)],
             axis=1)
-        return nodes, leafs
+        if woop:
+            return nodes, leafs, _woop_rows(vparts, pids, max_leaf,
+                                            nrows_pad)
+        return nodes, leafs, None
 
     # empty node pattern: inverted boxes in every slot
     empty = np.zeros((NR, 128), np.float32)
@@ -424,16 +474,25 @@ def _phase_b(vertices, faces, order, sp, s_meta, s_cnt, s_a, s_leaf,
         jnp.where(s_leaf == 1, leaf_rank, nrows_pad)].set(
         jnp.where(s_leaf == 1, s_a, 0), mode="drop")
     leafs = jnp.zeros((nrows_pad, 128), f32)
+    tris_w, pids_w = [], []
     for t in range(max_leaf):
         src = jnp.clip(A + t, 0, n - 1)
         prim = jnp.take(order, src)
         f3 = jnp.take(faces, prim, axis=0)
+        vcols = []
         for vdx in range(3):
             vv = jnp.take(vertices, f3[:, vdx], axis=0)
             for k in range(3):
                 leafs = leafs.at[:, 9 * t + 3 * vdx + k].set(vv[:, k])
+                vcols.append(vv[:, k])
         leafs = leafs.at[:, 90 + t].set(prim.astype(f32))
-    return nodes, leafs
+        if woop:
+            tris_w.append(jnp.stack(vcols, axis=1))
+            pids_w.append(prim.astype(f32))
+    if woop:
+        return nodes, leafs, _woop_rows(tris_w, pids_w, max_leaf,
+                                        nrows_pad)
+    return nodes, leafs, None
 
 
 def collapse_lbvh_device(
@@ -441,16 +500,23 @@ def collapse_lbvh_device(
     faces,
     width: int = 16,
     max_leaf: int = 9,
+    woop: bool = False,
 ) -> BVH8Scene:
     """One-call device-side scene build: triangles in, packet-kernel
     BVH tables out, everything on the accelerator (two scalar count
     readbacks between the jitted phases). Tables are bucket-padded to
     powers of two — the trailing pad node doubles as the kernel's park
-    row (empty boxes never hit)."""
+    row (empty boxes never hit).
+
+    ``woop=True`` also bakes the turbo intersector's unit-triangle
+    table on device (``leafs_woop``, layout of build_woop_leafs), so
+    the full turbo path needs no host pass either."""
     if width not in (8, 16):
         raise ValueError(f"width must be 8 or 16: {width}")
     if not 1 <= max_leaf <= min(MAX_LEAF_TRIS, 15):
         raise ValueError(f"max_leaf must be in [1, 15]: {max_leaf}")
+    if woop and max_leaf > 9:
+        raise ValueError("woop rows hold <= 9 tris; use max_leaf <= 9")
     vertices = jnp.asarray(vertices, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
     n = int(faces.shape[0])
@@ -487,10 +553,20 @@ def collapse_lbvh_device(
         for t in range(n):
             leafs[0, 9 * t: 9 * t + 9] = v[f[t]].reshape(-1)
             leafs[0, 90 + t] = float(t)
+        leafs_woop = None
+        if woop:
+            from .bvh8 import _woop_transforms_from
+
+            wflat = _woop_transforms_from(v, f, np.arange(n))
+            lw = np.zeros((1, 128), np.float32)
+            for t in range(n):
+                lw[0, 12 * t: 12 * t + 12] = wflat[t]
+                lw[0, 108 + t] = float(t)
+            leafs_woop = jnp.asarray(lw)
         return BVH8Scene(
             nodes=jnp.asarray(nodes), leafs=jnp.asarray(leafs),
             num_nodes=1, num_leaf_rows=1, depth=1, max_leaf=n,
-            width=width)
+            width=width, leafs_woop=leafs_woop)
 
     (order, sp, s_meta, s_cnt, s_a, s_leaf, leaf_rank, sboxes,
      node_axis, nw, n_rows, wide_depth) = _phase_a(
@@ -498,11 +574,12 @@ def collapse_lbvh_device(
     nw_i, nrows_i, depth_i = int(nw), int(n_rows), int(wide_depth)
     nw_pad = _next_pow2(nw_i + 1)  # +1: trailing pad node = park row
     nrows_pad = _next_pow2(max(nrows_i, 1))
-    nodes, leafs = _phase_b(
+    nodes, leafs, leafs_woop = _phase_b(
         vertices, faces, order, sp, s_meta, s_cnt, s_a, s_leaf,
         leaf_rank, sboxes, node_axis,
         n=n, width=width, max_leaf=max_leaf,
-        nw_pad=nw_pad, nrows_pad=nrows_pad)
+        nw_pad=nw_pad, nrows_pad=nrows_pad, woop=woop)
     return BVH8Scene(
         nodes=nodes, leafs=leafs, num_nodes=nw_i, num_leaf_rows=nrows_i,
-        depth=depth_i, max_leaf=max_leaf, width=width)
+        depth=depth_i, max_leaf=max_leaf, width=width,
+        leafs_woop=leafs_woop)

@@ -148,6 +148,53 @@ def test_device_collapse_closest_hit_parity(width):
             assert abs(best_t - want_t[i]) < 1e-3 * max(1.0, want_t[i]), i
 
 
+@pytest.mark.parametrize("width", [8, 16])
+def test_device_collapse_woop_table(width):
+    """Device-baked turbo table: per-slot prim ids mirror the watertight
+    rows, and every 12-float transform matches the host builder's f64
+    math (bvh8._woop_transforms_from) to a few ulp — the device path
+    computes the cross products as Dekker two-product differences."""
+    from nanort_tpu.build.bvh8 import _woop_transforms_from
+
+    v, f = merge_meshes(make_cornell_box(2.0), make_uv_sphere(12, 24, 0.5))
+    s = collapse_lbvh_device(v, f, width=width, max_leaf=9, woop=True)
+    assert s.leafs_woop is not None
+    leafs = np.asarray(s.leafs)
+    lw = np.asarray(s.leafs_woop)
+    assert lw.shape == leafs.shape
+    pids, got = [], []
+    for nid, lo, hi, meta, cnt in _walk(s):
+        if meta < 0:
+            r = -meta - 1
+            for t in range(cnt):
+                pid = int(leafs[r, 90 + t])
+                assert int(lw[r, 108 + t]) == pid
+                pids.append(pid)
+                got.append(lw[r, 12 * t: 12 * t + 12])
+    assert sorted(pids) == list(range(len(f)))
+    got = np.stack(got)
+    want = _woop_transforms_from(v, f, np.asarray(pids))
+    # anchor columns are straight copies of p0
+    np.testing.assert_array_equal(got[:, 9:], want[:, 9:])
+    scale = np.maximum(np.abs(want[:, :9]).max(axis=1, keepdims=True),
+                       1e-3)
+    rel = np.abs(got[:, :9] - want[:, :9]) / scale
+    assert rel.max() < 5e-6, rel.max()
+
+
+def test_device_collapse_woop_tiny_scene():
+    v, f = make_random_triangles(4, seed=2)
+    s = collapse_lbvh_device(v, f, width=16, max_leaf=9, woop=True)
+    from nanort_tpu.build.bvh8 import _woop_transforms_from
+
+    lw = np.asarray(s.leafs_woop)
+    want = _woop_transforms_from(v, f, np.arange(4))
+    for t in range(4):
+        assert int(lw[0, 108 + t]) == t
+        np.testing.assert_allclose(lw[0, 12 * t: 12 * t + 12], want[t],
+                                   rtol=0, atol=0)
+
+
 def test_device_collapse_tiny_scene():
     v, f = make_random_triangles(5, seed=1)
     s = collapse_lbvh_device(v, f, width=16, max_leaf=9)

@@ -178,7 +178,7 @@ def main():
     nrows_pad = _next_pow2(max(int(n_rows), 1))
 
     def run_phase_b():
-        nodes, leafs = _phase_b(
+        nodes, leafs, _ = _phase_b(
             v, f, order_a, sp, s_meta, s_cnt, s_a, s_leaf, leaf_rank,
             sboxes, node_axis, n=n, width=16, max_leaf=max_leaf,
             nw_pad=nw_pad, nrows_pad=nrows_pad)

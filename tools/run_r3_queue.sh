@@ -12,16 +12,22 @@ echo "TPU up at $(date)" >> tools/logs/r3_queue.log
 
 run() {
   name=$1
+  tmo=${2:-1800}
   echo "=== $name start $(date)" >> tools/logs/r3_queue.log
-  timeout 1800 python tools/$name.py \
+  timeout "$tmo" python tools/$name.py \
     > tools/logs/$name.out 2> tools/logs/$name.log
   echo "=== $name rc=$? end $(date)" >> tools/logs/r3_queue.log
 }
 
-run exp_r3_head
+run exp_r3_head 3600
 run exp_r3_ptprof
 run exp_r3_configB
 run exp_r3_inco2
 run exp_r3_ao
 run exp_r3_devbuild5
+# headline sanity with the shipping defaults (what the driver will run)
+echo "=== bench start $(date)" >> tools/logs/r3_queue.log
+timeout 1800 python bench.py \
+  > tools/logs/bench_r3.out 2> tools/logs/bench_r3.log
+echo "=== bench rc=$? end $(date)" >> tools/logs/r3_queue.log
 echo "QUEUE DONE $(date)" >> tools/logs/r3_queue.log
