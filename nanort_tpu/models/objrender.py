@@ -146,10 +146,6 @@ def build_onb(n: jnp.ndarray):
     return t, bt
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_samples", "options", "max_leaf",
-                              "specialize")
-)
 def render_ao(
     bvh,
     mesh: TriangleMesh,
@@ -174,6 +170,32 @@ def render_ao(
     traversal (the reference's per-sample loop, objrender-style, is
     launch-overhead bound on TPU: 8 small dispatches cost ~20x the
     kernel time at 512^2)."""
+    # trace_kw values are engine config (bools/ints) — freeze them into
+    # a hashable static arg so jit doesn't trace them
+    return _render_ao_impl(
+        bvh, mesh, rays, key, n_samples, ao_radius, options, max_leaf,
+        scene8, specialize, tuple(sorted(trace_kw.items())),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_samples", "options", "max_leaf",
+                              "specialize", "trace_kw_items")
+)
+def _render_ao_impl(
+    bvh,
+    mesh: TriangleMesh,
+    rays: Rays,
+    key,
+    n_samples: int = 8,
+    ao_radius: float = 1e30,
+    options: BVHTraceOptions = BVHTraceOptions(),
+    max_leaf: int = 4,
+    scene8=None,
+    specialize=None,
+    trace_kw_items: tuple = (),
+):
+    trace_kw = dict(trace_kw_items)
     aovs, hits = render_aovs(
         bvh, mesh, rays, None, options, max_leaf, scene8, specialize
     )

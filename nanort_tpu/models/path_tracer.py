@@ -461,6 +461,7 @@ def render_path_traced(
     max_bounces: int = 10,
     tile: int = 8192,
     spp_batch: int | None = None,
+    fused: bool | None = None,
 ):
     """Accumulate spp samples per camera ray; returns linear RGB with the
     camera-ray batch shape + (3,). (The reference's SPP loop,
@@ -471,11 +472,28 @@ def render_path_traced(
     spp that keeps the batch under ~8M rays). One-sample bounce batches
     are sort/launch-overhead bound on TPU — batching 16-25 spp together
     amortizes the per-bounce ray sort and kernel dispatch AND makes the
-    sorted packets denser (more rays per spatial cell)."""
+    sorted packets denser (more rays per spatial cell).
+
+    ``fused``: route the whole render through the single-Pallas-kernel
+    path (models/pt_fused.py — spp x bounce loops entirely on-core).
+    Default: auto — on for brute-force-class scenes when running on TPU
+    (where it is kernel-class faster), off elsewhere. The fused kernel
+    uses its own counter-based RNG stream, so images agree with the
+    megabatch path statistically, not sample-for-sample."""
     bs = cam_rays.batch_shape
     org = cam_rays.org.reshape(-1, 3)
     d = cam_rays.dir.reshape(-1, 3)
     R = org.shape[0]
+    if fused is None:
+        from .pt_fused import fused_eligible
+
+        fused = fused_eligible(scene) and jax.default_backend() == "tpu"
+    if fused:
+        from .pt_fused import render_fused
+
+        img = render_fused(scene, org, d, key, spp,
+                           max_bounces=max_bounces)
+        return img.reshape(*bs, 3)
     if spp_batch is None:
         spp_batch = _auto_spp_batch(spp, R)
     acc = jnp.zeros((R, 3), jnp.float32)

@@ -1,0 +1,113 @@
+"""Fused path-tracer megakernel (models/pt_fused.py) vs the XLA
+megabatch path. The kernel runs in interpret mode on the CPU test mesh —
+the SAME code path that compiles on TPU — and uses a deterministic
+counter-based RNG, so images agree with trace_paths statistically (same
+estimator, different uniform stream; reference semantics from
+path_tracer/main.cc:785-1009)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nanort_tpu.io.procedural import make_cornell_pt_scene
+from nanort_tpu.models.cameras import look_at, pinhole_rays
+from nanort_tpu.models.path_tracer import (
+    make_pt_scene,
+    render_path_traced,
+    trace_paths,
+)
+from nanort_tpu.models.pt_fused import (
+    PT_FUSED_MAX_TRIS,
+    fused_eligible,
+    render_fused,
+)
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    sv, sf, mids, mats = make_cornell_pt_scene(2.0)
+    return make_pt_scene(sv, sf, mids, mats)
+
+
+@pytest.fixture(scope="module")
+def cam_rays():
+    cam = look_at(eye=(0, 0.0, 5.0), center=(0, 0, 0),
+                  width=24, height=24, fov=45.0)
+    pr = pinhole_rays(cam)
+    return pr.org.reshape(-1, 3), pr.dir.reshape(-1, 3)
+
+
+def test_fused_matches_xla_statistically(cornell, cam_rays):
+    org, d = cam_rays
+    R = org.shape[0]
+    spp = 24
+    c_f = np.asarray(render_fused(cornell, org, d, 7, spp, max_bounces=6))
+    oa = jnp.broadcast_to(jnp.asarray(org)[None], (spp, R, 3)).reshape(-1, 3)
+    da = jnp.broadcast_to(jnp.asarray(d)[None], (spp, R, 3)).reshape(-1, 3)
+    c_x = np.asarray(
+        trace_paths(cornell, oa, da, jax.random.PRNGKey(5), max_bounces=6)
+    ).reshape(spp, R, 3).mean(0)
+    assert not np.isnan(c_f).any()
+    # same estimator, independent uniform streams: global means converge
+    rel = abs(c_f.mean() - c_x.mean()) / max(c_x.mean(), 1e-9)
+    assert rel < 0.05, (c_f.mean(), c_x.mean())
+    # per-pixel agreement at Monte-Carlo noise scale
+    assert np.abs(c_f - c_x).mean() < 0.15 * max(c_x.mean(), 1e-9) + 0.05
+
+
+def test_fused_deterministic(cornell, cam_rays):
+    org, d = cam_rays
+    a = np.asarray(render_fused(cornell, org, d, 42, 4, max_bounces=3))
+    b = np.asarray(render_fused(cornell, org, d, 42, 4, max_bounces=3))
+    c = np.asarray(render_fused(cornell, org, d, 43, 4, max_bounces=3))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 0
+
+
+def test_fused_accepts_prng_key(cornell, cam_rays):
+    org, d = cam_rays
+    a = render_fused(cornell, org, d, jax.random.PRNGKey(9), 2,
+                     max_bounces=2)
+    assert a.shape == (org.shape[0], 3)
+    assert not np.isnan(np.asarray(a)).any()
+
+
+def test_fused_ragged_ray_count(cornell, cam_rays):
+    org, d = cam_rays
+    a_full = np.asarray(render_fused(cornell, org, d, 11, 4, max_bounces=3))
+    a_cut = np.asarray(
+        render_fused(cornell, org[:100], d[:100], 11, 4, max_bounces=3))
+    # same rays, same seed -> identical prefix (padding must not bleed in)
+    np.testing.assert_array_equal(a_cut, a_full[:100])
+
+
+def test_trig_poly_matches_native(cornell, cam_rays):
+    org, d = cam_rays
+    a = np.asarray(render_fused(cornell, org[:64], d[:64], 3, 4,
+                                max_bounces=3, trig="native"))
+    b = np.asarray(render_fused(cornell, org[:64], d[:64], 3, 4,
+                                max_bounces=3, trig="poly"))
+    # identical RNG stream; only the ~4e-6 sincos approximation differs,
+    # which can flip a rare low-probability branch — compare loosely
+    assert np.quantile(np.abs(a - b), 0.99) < 2e-2
+    assert np.abs(a - b).mean() < 2e-3
+
+
+def test_eligibility_gate(cornell):
+    assert fused_eligible(cornell)
+    big = cornell._replace(face_table=None)
+    assert not fused_eligible(big)
+    with pytest.raises(ValueError):
+        render_fused(big, np.zeros((4, 3)), np.ones((4, 3)), 0, 1)
+    assert PT_FUSED_MAX_TRIS >= 256
+
+
+def test_render_path_traced_fused_route(cornell):
+    cam = look_at(eye=(0, 0.0, 5.0), center=(0, 0, 0),
+                  width=8, height=8, fov=45.0)
+    img = render_path_traced(
+        cornell, pinhole_rays(cam), jax.random.PRNGKey(0), spp=4,
+        max_bounces=3, fused=True)
+    assert img.shape == (8, 8, 3)
+    assert not np.isnan(np.asarray(img)).any()
