@@ -37,6 +37,10 @@ def emit(name, value, unit, **extra):
     row = {"metric": name, "value": round(value, 3), "unit": unit, **extra}
     ROWS.append(row)
     print(json.dumps(row), flush=True)
+    # write after every row: a crash in a later section (e.g. an HBM
+    # OOM at 10M tris) must not lose the earlier measurements
+    with open("BENCH_MATRIX.json", "w") as fh:
+        json.dump(ROWS, fh, indent=1)
 
 
 def readback(x):
@@ -117,7 +121,7 @@ def main():
         v, f = merge_meshes(make_cornell_box(2.0), make_uv_sphere(64, 128, 0.6))
         mesh = TriangleMesh(vertices=jnp.asarray(v), faces=jnp.asarray(f))
         bvh, _ = build_triangle_bvh(mesh, opt8)
-        s8 = collapse_bvh8(bvh, v, f)
+        s8 = collapse_bvh8(bvh, v, f, width=16)
         s8 = s8._replace(nodes=jnp.asarray(s8.nodes),
                          leafs=jnp.asarray(s8.leafs))
         cam = look_at(eye=(0, 0.0, 5.0), center=(0, 0, 0),
@@ -129,9 +133,12 @@ def main():
         spec_a = detect_specialization(rays)
 
         def run_a():
+            # octant-major + sub=8 occlusion packets: measured 234 ->
+            # 202 ms with bit-identical AO (tools/logs/exp_r3_ao.out)
             aovs, hits = render_ao(bvh, mesh, rays, key,
                                    n_samples=n_samples, max_leaf=8,
-                                   scene8=s8, specialize=spec_a)
+                                   scene8=s8, specialize=spec_a,
+                                   octant_major=True, sub=8)
             return readback(aovs["ao"].min()), hits
 
         t0 = time.perf_counter()
@@ -208,7 +215,11 @@ def main():
         rays = make_rays(org, d.astype(np.float32))
 
         def run_i():
-            h = traverse_bvh8_binned(s8i, rays, treelets=tl, K=8)
+            # octant-major + sub=16: measured best fully-random recipe
+            # (tools/logs/exp_r3_inco2.out: 1.19 -> 1.34 Mrays/s, 0
+            # prim mismatches)
+            h = traverse_bvh8_binned(s8i, rays, treelets=tl, K=8,
+                                     octant_major=True, sub=16)
             return float(h.t.min())
 
         run_i()
@@ -218,7 +229,8 @@ def main():
             run_i()
             ts.append(time.perf_counter() - t0)
         emit("incoherent_random_mrays_per_s_1mtri", R / min(ts) / 1e6,
-             "Mrays/s", engine="treelet_binned", n_treelets=512, K=8)
+             "Mrays/s", engine="treelet_binned", n_treelets=512, K=8,
+             octant_major=True, sub=16)
 
         # ---- realistic incoherent: AO bounce rays off primary hits,
         # Morton-sorted, any-hit packets (the workload class behind
@@ -320,15 +332,23 @@ def main():
         vd = jax.device_put(jnp.asarray(v))
         fd = jax.device_put(jnp.asarray(f))
         jax.block_until_ready(vd)
-        sd = collapse_lbvh_device(vd, fd, width=16, max_leaf=9)
-        float(np.asarray(sd.nodes[0, 0]))  # warm both jitted phases
-        t0 = time.perf_counter()
-        sd = collapse_lbvh_device(vd, fd, width=16, max_leaf=9)
-        float(np.asarray(sd.nodes[0, 0]))
-        dev_build_s = time.perf_counter() - t0
-        emit("coherent_primary_mrays_per_s_10mtri_devicebuild",
-             time_traverse(sd), "Mrays/s",
-             device_build_s=round(dev_build_s, 2), res=res, sub=sub_t)
+        # ONE build, timed cold (incl. the two phase compiles + the
+        # throttled-host trace): a second 10M build in the same process
+        # exhausts HBM on allocator fragmentation even after freeing the
+        # first tables (tools/logs/exp_r3_devbuild5.*), and real usage
+        # builds a given scene bucket once
+        try:
+            t0 = time.perf_counter()
+            sd = collapse_lbvh_device(vd, fd, width=16, max_leaf=9)
+            float(np.asarray(sd.nodes[0, 0]))
+            dev_build_s = time.perf_counter() - t0
+            emit("coherent_primary_mrays_per_s_10mtri_devicebuild",
+                 time_traverse(sd), "Mrays/s",
+                 device_build_incl_compile_s=round(dev_build_s, 2),
+                 res=res, sub=sub_t)
+        except Exception as e:
+            print(f"# devicebuild row failed: {type(e).__name__}",
+                  file=sys.stderr, flush=True)
 
     with open("BENCH_MATRIX.json", "w") as fh:
         json.dump(ROWS, fh, indent=1)

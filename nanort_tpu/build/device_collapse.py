@@ -143,14 +143,15 @@ def _make_range_minmax(sorted_lo, sorted_hi, n: int):
     return query
 
 
-@functools.partial(jax.jit, static_argnames=("n", "max_leaf", "K"))
-def _phase_a(vertices, faces, n: int, max_leaf: int, K: int):
-    """Topology + child records, sorted by (wide parent, slot order).
+@functools.partial(jax.jit, static_argnames=("n", "max_leaf"))
+def _phase_a_topo(vertices, faces, n: int, max_leaf: int):
+    """Phase A, stage 1: Morton sort, Karras topology, and every node /
+    collapsed-leaf bbox via the O(1) range-min tables.
 
-    Returns per-record arrays of static length 3*(n-1) (internal, left
-    leaf, right leaf banks; invalid records sort to the end) plus the
-    scalar counts the host must read to size phase B's static tables.
-    """
+    A separate jit from the record stage so the sparse min-tables
+    (~1.7 GB of transients at 10M tris) are FREED before the record
+    banks and their 30M-row sort materialize — one fused phase A holds
+    both working sets at once and exhausts v5e HBM at 10M tris."""
     i32 = jnp.int32
     v0 = jnp.take(vertices, faces[:, 0], axis=0)
     v1 = jnp.take(vertices, faces[:, 1], axis=0)
@@ -165,6 +166,38 @@ def _phase_a(vertices, faces, n: int, max_leaf: int, K: int):
     order = jnp.argsort(codes).astype(i32)
     codes = jnp.take(codes, order)
     first, last, split = _karras_topology(codes, n)
+
+    r_child = split + 1
+    # ---- bboxes: every node (internal or collapsed leaf) covers the
+    # contiguous sorted-prim range [first, last], so all boxes are O(1)
+    # range-min/max queries — no refit fixpoint over the tree at all ----
+    sorted_lo = jnp.take(prim_lo, order, axis=0)
+    sorted_hi = jnp.take(prim_hi, order, axis=0)
+    range_query = _make_range_minmax(sorted_lo, sorted_hi, n)
+    lf_lo, lf_hi = range_query(first, split)
+    rf_lo, rf_hi = range_query(r_child, last)
+    node_lo, node_hi = range_query(first, last)
+    axis_i = jnp.argmax(node_hi - node_lo, axis=1).astype(i32)
+    return (order, first, last, split, scene_lo,
+            lf_lo, lf_hi, rf_lo, rf_hi, node_lo, node_hi, axis_i)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n", "max_leaf", "K"),
+    donate_argnums=(1, 2, 3, 5, 6, 7, 8, 9, 10, 11),
+)
+def _phase_a_records(order, first, last, split, scene_lo,
+                     lf_lo, lf_hi, rf_lo, rf_hi, node_lo, node_hi,
+                     axis_i, n: int, max_leaf: int, K: int):
+    """Phase A, stage 2: child records, sorted by (wide parent, slot
+    order). Topology/box inputs are donated — their buffers recycle into
+    the record banks.
+
+    Returns per-record arrays of static length 3*(n-1) (internal, left
+    leaf, right leaf banks; invalid records sort to the end) plus the
+    scalar counts the host must read to size phase B's static tables.
+    """
+    i32 = jnp.int32
     ni = n - 1
     iar = jnp.arange(ni, dtype=i32)
 
@@ -177,17 +210,6 @@ def _phase_a(vertices, faces, n: int, max_leaf: int, K: int):
     l_child, r_child = split, split + 1
     okl = keep & ~l_leaf  # left child is a kept internal node
     okr = keep & ~r_leaf
-
-    # ---- bboxes: every node (internal or collapsed leaf) covers the
-    # contiguous sorted-prim range [first, last], so all boxes are O(1)
-    # range-min/max queries — no refit fixpoint over the tree at all ----
-    sorted_lo = jnp.take(prim_lo, order, axis=0)
-    sorted_hi = jnp.take(prim_hi, order, axis=0)
-    range_query = _make_range_minmax(sorted_lo, sorted_hi, n)
-    lf_lo, lf_hi = range_query(first, split)
-    rf_lo, rf_hi = range_query(r_child, last)
-    node_lo, node_hi = range_query(first, last)
-    axis_i = jnp.argmax(node_hi - node_lo, axis=1).astype(i32)
 
     # ---- parent pointers + depth over the KEPT tree ----
     par = jnp.zeros(ni, i32)  # root's parent = itself (jump fixpoint)
@@ -348,7 +370,10 @@ def _woop_rows(tris, pids, max_leaf: int, nrows_pad: int):
 @functools.partial(
     jax.jit,
     static_argnames=("n", "width", "max_leaf", "nw_pad", "nrows_pad",
-                     "woop"))
+                     "woop"),
+    # record arrays (3*(n-1) rows each) die inside this phase — donate
+    # so their ~1.3 GB at 10M tris recycles into the tables
+    donate_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
 def _phase_b(vertices, faces, order, sp, s_meta, s_cnt, s_a, s_leaf,
              leaf_rank, sboxes, node_axis,
              n: int, width: int, max_leaf: int,
@@ -367,25 +392,30 @@ def _phase_b(vertices, faces, order, sp, s_meta, s_cnt, s_a, s_leaf,
     seg = jnp.searchsorted(sp, jnp.arange(nw_pad + 1, dtype=i32)).astype(i32)
 
     if W == 16:
-        # ---- packed path: per slot, ONE (nw_pad, 8) row gather of the
-        # record matrix; the node table is a single lane concat (box
-        # lanes 6s..6s+5, meta 96+s, count 112+s) — no .at column writes
-        rec = jnp.stack(
-            [slo0, slo1, slo2, shi0, shi1, shi2,
-             s_meta.astype(f32), s_cnt.astype(f32)], axis=1)
+        # ---- packed path: per slot, per-component 1D gathers (a row
+        # gather of a stacked (3n, 8) record matrix costs a 16x-padded
+        # T(8,128) temp at 10M tris — the 10M HBM OOM class); the node
+        # table is a single lane concat (box lanes 6s..6s+5, meta 96+s,
+        # count 112+s) — no .at column writes
+        s_meta_f = s_meta.astype(f32)
+        s_cnt_f = s_cnt.astype(f32)
         axis_f = (node_axis[:nw_pad] if node_axis.shape[0] >= nw_pad
                   else jnp.pad(node_axis,
                                (0, nw_pad - node_axis.shape[0]))).astype(f32)
         boxes, metas, cnts = [], [], []
-        empty6 = jnp.asarray(
-            [EMPTY_BIG] * 3 + [-EMPTY_BIG] * 3, f32)
         for s in range(W):
             idx = seg[:-1] + s
             valid = idx < seg[1:]
-            g = jnp.take(rec, jnp.clip(idx, 0, nrec - 1), axis=0)
-            boxes.append(jnp.where(valid[:, None], g[:, 0:6], empty6))
-            metas.append(jnp.where(valid, g[:, 6], 0.0))
-            cnt = jnp.where(valid, g[:, 7], 0.0)
+            idxc = jnp.clip(idx, 0, nrec - 1)
+            comps = [jnp.take(x, idxc) for x in
+                     (slo0, slo1, slo2, shi0, shi1, shi2)]
+            box = jnp.stack(
+                [jnp.where(valid, comps[k],
+                           f32(EMPTY_BIG if k < 3 else -EMPTY_BIG))
+                 for k in range(6)], axis=1)
+            boxes.append(box)
+            metas.append(jnp.where(valid, jnp.take(s_meta_f, idxc), 0.0))
+            cnt = jnp.where(valid, jnp.take(s_cnt_f, idxc), 0.0)
             if s == 0:
                 # order axis rides the child-0 count lane (cnt + 16*axis)
                 cnt = cnt + 16.0 * axis_f
@@ -395,7 +425,9 @@ def _phase_b(vertices, faces, order, sp, s_meta, s_cnt, s_a, s_leaf,
             axis=1)
 
         # ---- leaf rows: (n, 10) sorted soup [v0 v1 v2 pid], then one
-        # row gather per leaf slot; the table is again a single concat
+        # row gather per leaf slot, CHUNKED with lax.map so the narrow
+        # (rows, 9/10) temporaries (~13x lane padding under T(8,128))
+        # stay bounded at 10M tris
         A = jnp.zeros(nrows_pad, i32).at[
             jnp.where(s_leaf == 1, leaf_rank, nrows_pad)].set(
             jnp.where(s_leaf == 1, s_a, 0), mode="drop")
@@ -405,20 +437,36 @@ def _phase_b(vertices, faces, order, sp, s_meta, s_cnt, s_a, s_leaf,
         soup = jnp.concatenate(
             [v0, v1, v2, jnp.arange(n, dtype=f32)[:, None]], axis=1)
         soup = jnp.take(soup, order, axis=0)  # morton order; col 9 = prim
-        vparts, pids = [], []
-        for t in range(max_leaf):
-            g = jnp.take(soup, jnp.clip(A + t, 0, n - 1), axis=0)
-            vparts.append(g[:, :9])
-            pids.append(g[:, 9])
-        leafs = jnp.concatenate(
-            vparts
-            + [jnp.zeros((nrows_pad, 90 - 9 * max_leaf), f32)]
-            + [jnp.stack(pids, axis=1)]
-            + [jnp.zeros((nrows_pad, 128 - 90 - max_leaf), f32)],
-            axis=1)
+
+        def leaf_chunk(Ac):
+            m = Ac.shape[0]
+            vparts, pids = [], []
+            for t in range(max_leaf):
+                g = jnp.take(soup, jnp.clip(Ac + t, 0, n - 1), axis=0)
+                vparts.append(g[:, :9])
+                pids.append(g[:, 9])
+            rows = jnp.concatenate(
+                vparts
+                + [jnp.zeros((m, 90 - 9 * max_leaf), f32)]
+                + [jnp.stack(pids, axis=1)]
+                + [jnp.zeros((m, 128 - 90 - max_leaf), f32)],
+                axis=1)
+            if woop:
+                return rows, _woop_rows(vparts, pids, max_leaf, m)
+            return rows, jnp.zeros((m, 0), f32)
+
+        # ~64K rows per chunk caps the padded temps at ~300 MB
+        ch = max(1, min(nrows_pad // 65536, 32))
+        while nrows_pad % ch:
+            ch -= 1
+        if ch <= 1:
+            leafs, lw = leaf_chunk(A)
+        else:
+            leafs, lw = jax.lax.map(leaf_chunk, A.reshape(ch, -1))
+            leafs = leafs.reshape(nrows_pad, 128)
+            lw = lw.reshape(nrows_pad, -1)
         if woop:
-            return nodes, leafs, _woop_rows(vparts, pids, max_leaf,
-                                            nrows_pad)
+            return nodes, leafs, lw
         return nodes, leafs, None
 
     # empty node pattern: inverted boxes in every slot
@@ -568,9 +616,10 @@ def collapse_lbvh_device(
             num_nodes=1, num_leaf_rows=1, depth=1, max_leaf=n,
             width=width, leafs_woop=leafs_woop)
 
+    topo = _phase_a_topo(vertices, faces, n=n, max_leaf=max_leaf)
     (order, sp, s_meta, s_cnt, s_a, s_leaf, leaf_rank, sboxes,
-     node_axis, nw, n_rows, wide_depth) = _phase_a(
-        vertices, faces, n=n, max_leaf=max_leaf, K=K)
+     node_axis, nw, n_rows, wide_depth) = _phase_a_records(
+        *topo, n=n, max_leaf=max_leaf, K=K)
     nw_i, nrows_i, depth_i = int(nw), int(n_rows), int(wide_depth)
     nw_pad = _next_pow2(nw_i + 1)  # +1: trailing pad node = park row
     nrows_pad = _next_pow2(max(nrows_i, 1))

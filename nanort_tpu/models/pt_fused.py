@@ -416,15 +416,19 @@ def _pt_kernel(F, C, L, rr_start, trig,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_lights", "spp", "max_bounces", "rr_start", "trig", "interpret"))
+    "n_lights", "rr_start", "trig", "interpret"))
 def _render_fused_impl(tri, face, light, rays6, seed, n_lights, spp,
                        max_bounces, rr_start, trig, interpret):
+    # seed/spp/max_bounces are TRACED (they ride the kernel's SMEM meta
+    # row): every (seed, spp, bounces) setting shares one compiled kernel
     F, _ = tri.shape
     C = face.shape[1]
     L = n_lights
     NB = rays6.shape[1]
     kern = functools.partial(_pt_kernel, F, C, L, rr_start, trig)
-    meta = jnp.asarray([seed, spp, max_bounces], jnp.int32)
+    meta = jnp.stack([jnp.asarray(seed, jnp.int32),
+                      jnp.asarray(spp, jnp.int32),
+                      jnp.asarray(max_bounces, jnp.int32)])
     return pl.pallas_call(
         kern,
         grid=(NB,),

@@ -83,6 +83,8 @@ def main():
     sd = full()
     emit("build_cold_s", round(time.perf_counter() - t0, 2))
     for i in range(2):
+        sd = None  # free the previous tables BEFORE rebuilding: holding
+        # them through a second 10M build tips HBM over
         t0 = time.perf_counter()
         sd = full()
         emit(f"build_warm{i}_s", round(time.perf_counter() - t0, 2))
