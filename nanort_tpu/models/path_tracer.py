@@ -70,6 +70,10 @@ class PTScene(NamedTuple):
     # per-light-face table (L, 16): [v0 3 | v1 3 | v2 3 | unit normal 3 |
     # area | emission 3] for _sample_light
     light_table: jnp.ndarray | None = None
+    # per-leaf-row aux table (traverse/fused_trace.build_aux_rows):
+    # geometric normal / material id / prim id per leaf slot, enabling
+    # the BVH-traced fused megakernel (models/pt_fused.render_fused_bvh)
+    fused_aux: jnp.ndarray | None = None
 
 
 # One-hot matmul lookups stay exact (a single 1.0 per row copies table
@@ -485,14 +489,21 @@ def render_path_traced(
     d = cam_rays.dir.reshape(-1, 3)
     R = org.shape[0]
     if fused is None:
-        from .pt_fused import fused_eligible
+        from .pt_fused import fused_bvh_eligible, fused_eligible
 
-        fused = fused_eligible(scene) and jax.default_backend() == "tpu"
+        fused = (
+            (fused_eligible(scene) or fused_bvh_eligible(scene))
+            and jax.default_backend() == "tpu"
+        )
     if fused:
-        from .pt_fused import render_fused
+        from .pt_fused import fused_eligible, render_fused, render_fused_bvh
 
-        img = render_fused(scene, org, d, key, spp,
-                           max_bounces=max_bounces)
+        if fused_eligible(scene):
+            img = render_fused(scene, org, d, key, spp,
+                               max_bounces=max_bounces)
+        else:
+            img = render_fused_bvh(scene, org, d, key, spp,
+                                   max_bounces=max_bounces)
         return img.reshape(*bs, 3)
     if spp_batch is None:
         spp_batch = _auto_spp_batch(spp, R)
@@ -549,13 +560,36 @@ def make_pt_scene(
         bvh, _ = build_triangle_bvh(mesh)
     packed = pack_scene(bvh, np.asarray(vertices), np.asarray(faces))
     scene8 = None
+    fused_aux = None
     if engine in ("pallas", "turbo"):
         from ..build.bvh8 import collapse_bvh8
 
+        # width 16: dense single-row nodes — bit-exact vs width 8 for
+        # the packet kernel AND the layout the fused BVH megakernel
+        # walks in-kernel (traverse/fused_trace.py)
         s8 = collapse_bvh8(
             bvh, np.asarray(vertices), np.asarray(faces),
-            woop=engine == "turbo",
+            width=16, woop=engine == "turbo",
         )
+        from .pt_fused import PT_FUSED_BVH_MAX_TRIS
+
+        if (mesh.num_faces <= PT_FUSED_BVH_MAX_TRIS
+                and facevarying_normals is None):
+            from ..traverse.fused_trace import build_aux_rows
+
+            # gn is baked below into face_table col 0; recompute the
+            # same jnp f32 value here so the fused BVH kernel reads
+            # bit-identical normals to the brute/XLA paths
+            _v0 = jnp.take(mesh.vertices, mesh.faces[:, 0], axis=0)
+            _v1 = jnp.take(mesh.vertices, mesh.faces[:, 1], axis=0)
+            _v2 = jnp.take(mesh.vertices, mesh.faces[:, 2], axis=0)
+            _gn = jnp.cross(_v1 - _v0, _v2 - _v0)
+            _gn = _gn / jnp.maximum(
+                jnp.linalg.norm(_gn, axis=-1, keepdims=True), 1e-30)
+            fused_aux = jnp.asarray(build_aux_rows(
+                s8.leafs, material_ids, np.asarray(faces),
+                np.asarray(vertices), s8.max_leaf,
+                gn_unit=np.asarray(_gn, np.float32)))
         scene8 = s8._replace(
             nodes=jnp.asarray(s8.nodes),
             leafs=jnp.asarray(s8.leafs),
@@ -633,4 +667,5 @@ def make_pt_scene(
         scene8=scene8,
         face_table=face_table,
         light_table=light_table,
+        fused_aux=fused_aux,
     )

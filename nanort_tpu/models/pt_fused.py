@@ -134,6 +134,172 @@ def _onb(nx, ny, nz):
     return b1x, b1y, b1z, b2x, b2y, b2z
 
 
+def _bounce_step(ray_id, base, st, t, hu, hv, hitf, alive,
+                 nx0, ny0, nz0, kdx, kdy, kdz, kex, key_, kez,
+                 ksx, ksy, ksz, ktx, kty, ktz, ior, dissolve,
+                 L, light_ref, trig, shadow_trace, zeros):
+    """Shading + NEE + emission + next-direction for one bounce, given
+    the closest-hit record and the hit lane's material values. Factored
+    so the brute-force and BVH-traced fused kernels share every op
+    (reference semantics: path_tracer/main.cc:785-1009; see module
+    docstring for the deliberate deviations).
+
+    ``nx0/ny0/nz0`` is the (already interpolated + normalized, unflipped)
+    shading normal; ``shadow_trace(hx, hy, hz, dx, dy, dz, smax)`` must
+    return an int32 any-hit mask for rays with window (ray_eps, smax].
+    """
+    f32 = jnp.float32
+    ray_eps = f32(0.00001)
+    (px, py, pz, dx, dy, dz, cr, cg, cb, wr, wg, wb,
+     _alive_i, do_em_i) = st
+    hit = hitf & alive
+
+    hx = px + dx * t
+    hy = py + dy * t
+    hz = pz + dz * t
+
+    onx, ony, onz = nx0, ny0, nz0  # original (unflipped) normal
+    facing = _dot3(nx0, ny0, nz0, dx, dy, dz) > 0.0
+    nx = jnp.where(facing, -nx0, nx0)
+    ny = jnp.where(facing, -ny0, ny0)
+    nz = jnp.where(facing, -nz0, nz0)
+
+    inside = jnp.where(_dot3(dx, dy, dz, onx, ony, onz) < 0.0,
+                       f32(-1.0), f32(1.0))
+    n1 = jnp.where(inside < 0, 1.0 / ior, ior)
+    n2 = 1.0 / n1
+    r0 = (n1 - n2) / (n1 + n2)
+    r0 = r0 * r0
+    cth = 1.0 - _dot3(-dx, -dy, -dz, nx, ny, nz)
+    fres = r0 + (1.0 - r0) * cth * cth * cth * cth * cth
+
+    third = f32(1.0 / 3.0)
+    rho_s = (ksx + ksy + ksz) * third * fres
+    rho_d = (kdx + kdy + kdz) * third * (1.0 - fres) * (1.0 - dissolve)
+    rho_r = (ktx + kty + ktz) * third * (1.0 - fres) * dissolve
+    rho_e = (kex + key_ + kez) * third
+    total = rho_s + rho_d + rho_r + rho_e
+    absorbed = total < 1e-4
+    tot = jnp.where(absorbed, f32(1.0), total)
+    rho_s = rho_s / tot
+    rho_d = rho_d / tot
+    rho_r = rho_r / tot
+
+    rand = _uniform(ray_id, base + 1)
+    pick_s = rand < rho_s
+    pick_d = ~pick_s & (rand < rho_s + rho_d)
+    pick_r = ~pick_s & ~pick_d & (rand < rho_s + rho_d + rho_r)
+    pick_e = ~pick_s & ~pick_d & ~pick_r
+
+    # ---- NEE (MeshLight::sampleDirect, main.cc:336-397) ----
+    if L > 0:
+        xi1 = _uniform(ray_id, base + 2)
+        xi2 = _uniform(ray_id, base + 3)
+        li = jnp.minimum((xi1 * L).astype(jnp.int32), L - 1)
+        xi1 = xi1 * L - li.astype(f32)
+        lvals = [zeros] * 16
+
+        def lsel(l, vals):
+            m = li == l
+            return tuple(jnp.where(m, light_ref[l, c], v)
+                         for c, v in enumerate(vals))
+        lvals = jax.lax.fori_loop(0, L, lsel, tuple(lvals))
+        (l0x, l0y, l0z, l1x, l1y, l1z, l2x, l2y, l2z,
+         lnx, lny, lnz, larea, lex, ley, lez) = lvals
+        srt = jnp.sqrt(xi1)
+        c0 = 1.0 - srt
+        c1 = srt * (1.0 - xi2)
+        c2 = srt * xi2
+        lpx = c0 * l0x + c1 * l1x + c2 * l2x
+        lpy = c0 * l0y + c1 * l1y + c2 * l2y
+        lpz = c0 * l0z + c1 * l1z + c2 * l2z
+        ldx = lpx - hx
+        ldy = lpy - hy
+        ldz = lpz - hz
+        ldx, ldy, ldz, ldist = _normalize3(ldx, ldy, ldz)
+        ok_l = ldist > 1e-6
+        cos_l = jnp.maximum(
+            -_dot3(ldx, ldy, ldz, lnx, lny, lnz), 0.0)
+        area_pdf = (f32(1.0 / L)) / jnp.maximum(larea, 1e-30)
+        lpdf = jnp.where(
+            ok_l & (cos_l > 1e-12),
+            area_pdf * ldist * ldist / jnp.maximum(cos_l, 1e-30),
+            f32(0.0))
+        shadow_max = jnp.maximum(ldist - ray_eps, 0.0)
+        nee_active = hit & pick_d & (lpdf > 0.0) & ~absorbed
+        sh_hit = shadow_trace(
+            hx, hy, hz, ldx, ldy, ldz,
+            jnp.where(nee_active, shadow_max, f32(0.0)))
+        visible = sh_hit == 0
+        cos_t = jnp.abs(_dot3(ldx, ldy, ldz, nx, ny, nz))
+        invpi = f32(1.0 / jnp.pi)
+        scale = cos_l * cos_t / jnp.maximum(lpdf, 1e-30)
+        gate = nee_active & visible
+        cr = cr + jnp.where(gate, kdx * invpi * lex * scale * wr, 0.0)
+        cg = cg + jnp.where(gate, kdy * invpi * ley * scale * wg, 0.0)
+        cb = cb + jnp.where(gate, kdz * invpi * lez * scale * wb, 0.0)
+
+    # ---- emission (main.cc:964-971) ----
+    emit_gate = hit & pick_e & (do_em_i != 0) & ~absorbed
+    cos_e = jnp.maximum(-_dot3(onx, ony, onz, dx, dy, dz), 0.0)
+    cr = cr + jnp.where(emit_gate, cos_e * kex * wr, 0.0)
+    cg = cg + jnp.where(emit_gate, cos_e * key_ * wg, 0.0)
+    cb = cb + jnp.where(emit_gate, cos_e * kez * wb, 0.0)
+
+    # ---- next direction ----
+    ddn = _dot3(dx, dy, dz, nx, ny, nz)
+    sx = dx - 2.0 * ddn * nx
+    sy = dy - 2.0 * ddn * ny
+    sz = dz - 2.0 * ddn * nz
+
+    u1 = _uniform(ray_id, base + 4)
+    cphi, sphi = _sincos_2pi(_uniform(ray_id, base + 5), trig)
+    rr_ = jnp.sqrt(u1)
+    cdx_ = rr_ * cphi
+    cdy_ = rr_ * sphi
+    cdz_ = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+    b1x, b1y, b1z, b2x, b2y, b2z = _onb(nx, ny, nz)
+    ddx = b1x * cdx_ + b2x * cdy_ + nx * cdz_
+    ddy = b1y * cdx_ + b2y * cdy_ + ny * cdz_
+    ddz = b1z * cdx_ + b2z * cdy_ + nz * cdz_
+
+    rnx = -inside * onx
+    rny = -inside * ony
+    rnz = -inside * onz
+    ndi = _dot3(rnx, rny, rnz, dx, dy, dz)
+    kk = 1.0 - n1 * n1 * (1.0 - ndi * ndi)
+    kroot = jnp.sqrt(jnp.maximum(kk, 0.0))
+    rxx = n1 * dx - (n1 * ndi + kroot) * rnx
+    rxy = n1 * dy - (n1 * ndi + kroot) * rny
+    rxz = n1 * dz - (n1 * ndi + kroot) * rnz
+    tir = kk < 0.0
+    rxx = jnp.where(tir, 0.0, rxx)
+    rxy = jnp.where(tir, 0.0, rxy)
+    rxz = jnp.where(tir, 0.0, rxz)
+
+    ndx = jnp.where(pick_s, sx, jnp.where(pick_d, ddx, rxx))
+    ndy = jnp.where(pick_s, sy, jnp.where(pick_d, ddy, rxy))
+    ndz = jnp.where(pick_s, sz, jnp.where(pick_d, ddz, rxz))
+    lwx = jnp.where(pick_s, ksx, jnp.where(pick_d, kdx, ktx))
+    lwy = jnp.where(pick_s, ksy, jnp.where(pick_d, kdy, kty))
+    lwz = jnp.where(pick_s, ksz, jnp.where(pick_d, kdz, ktz))
+    wr = wr * jnp.where(hit, lwx, 1.0)
+    wg = wg * jnp.where(hit, lwy, 1.0)
+    wb = wb * jnp.where(hit, lwz, 1.0)
+
+    alive_out = hit & ~pick_e & ~absorbed
+    # do_em stays int32 the whole way: a select with i1 operands
+    # lowers through an i8->i1 trunci Mosaic rejects
+    do_em_i = jnp.where(hit, (~pick_d).astype(jnp.int32), do_em_i)
+
+    return (jnp.where(hit, hx, px), jnp.where(hit, hy, py),
+            jnp.where(hit, hz, pz),
+            jnp.where(hit, ndx, dx), jnp.where(hit, ndy, dy),
+            jnp.where(hit, ndz, dz),
+            cr, cg, cb, wr, wg, wb,
+            alive_out.astype(jnp.int32), do_em_i)
+
+
 def _pt_kernel(F, C, L, rr_start, trig,
                meta_ref, tri_ref, face_ref, light_ref, rays_ref, out_ref):
     f32 = jnp.float32
@@ -234,11 +400,6 @@ def _pt_kernel(F, C, L, rr_start, trig,
         t, hu, hv, fid, hitf = trace(
             px, py, pz, dx, dy, dz,
             jnp.full((_BLK_SUB, _BLK_LANE), eps_t, f32), tmax, True)
-        hit = hitf & alive
-
-        hx = px + dx * t
-        hy = py + dy * t
-        hz = pz + dz * t
 
         # face table: [gn 3 | kd 3 | ke 3 | ks 3 | kt 3 | ior | dissolve
         #              | (fvn 9)]
@@ -256,146 +417,20 @@ def _pt_kernel(F, C, L, rr_start, trig,
         else:
             nx, ny, nz = gnx, gny, gnz
 
-        onx, ony, onz = nx, ny, nz  # original (unflipped) normal
-        facing = _dot3(nx, ny, nz, dx, dy, dz) > 0.0
-        nx = jnp.where(facing, -nx, nx)
-        ny = jnp.where(facing, -ny, ny)
-        nz = jnp.where(facing, -nz, nz)
-
-        inside = jnp.where(_dot3(dx, dy, dz, onx, ony, onz) < 0.0,
-                           f32(-1.0), f32(1.0))
-        n1 = jnp.where(inside < 0, 1.0 / ior, ior)
-        n2 = 1.0 / n1
-        r0 = (n1 - n2) / (n1 + n2)
-        r0 = r0 * r0
-        cth = 1.0 - _dot3(-dx, -dy, -dz, nx, ny, nz)
-        fres = r0 + (1.0 - r0) * cth * cth * cth * cth * cth
-
-        third = f32(1.0 / 3.0)
-        rho_s = (ksx + ksy + ksz) * third * fres
-        rho_d = (kdx + kdy + kdz) * third * (1.0 - fres) * (1.0 - dissolve)
-        rho_r = (ktx + kty + ktz) * third * (1.0 - fres) * dissolve
-        rho_e = (kex + key_ + kez) * third
-        total = rho_s + rho_d + rho_r + rho_e
-        absorbed = total < 1e-4
-        tot = jnp.where(absorbed, f32(1.0), total)
-        rho_s = rho_s / tot
-        rho_d = rho_d / tot
-        rho_r = rho_r / tot
-
-        rand = _uniform(ray_id, base + 1)
-        pick_s = rand < rho_s
-        pick_d = ~pick_s & (rand < rho_s + rho_d)
-        pick_r = ~pick_s & ~pick_d & (rand < rho_s + rho_d + rho_r)
-        pick_e = ~pick_s & ~pick_d & ~pick_r
-
-        # ---- NEE (MeshLight::sampleDirect, main.cc:336-397) ----
-        if L > 0:
-            xi1 = _uniform(ray_id, base + 2)
-            xi2 = _uniform(ray_id, base + 3)
-            li = jnp.minimum((xi1 * L).astype(jnp.int32), L - 1)
-            xi1 = xi1 * L - li.astype(f32)
-            lvals = [zeros] * 16
-            def lsel(l, vals):
-                m = li == l
-                return tuple(jnp.where(m, light_ref[l, c], v)
-                             for c, v in enumerate(vals))
-            lvals = jax.lax.fori_loop(0, L, lsel, tuple(lvals))
-            (l0x, l0y, l0z, l1x, l1y, l1z, l2x, l2y, l2z,
-             lnx, lny, lnz, larea, lex, ley, lez) = lvals
-            srt = jnp.sqrt(xi1)
-            c0 = 1.0 - srt
-            c1 = srt * (1.0 - xi2)
-            c2 = srt * xi2
-            lpx = c0 * l0x + c1 * l1x + c2 * l2x
-            lpy = c0 * l0y + c1 * l1y + c2 * l2y
-            lpz = c0 * l0z + c1 * l1z + c2 * l2z
-            ldx = lpx - hx
-            ldy = lpy - hy
-            ldz = lpz - hz
-            ldx, ldy, ldz, ldist = _normalize3(ldx, ldy, ldz)
-            ok_l = ldist > 1e-6
-            cos_l = jnp.maximum(
-                -_dot3(ldx, ldy, ldz, lnx, lny, lnz), 0.0)
-            area_pdf = (f32(1.0 / L)) / jnp.maximum(larea, 1e-30)
-            lpdf = jnp.where(
-                ok_l & (cos_l > 1e-12),
-                area_pdf * ldist * ldist / jnp.maximum(cos_l, 1e-30),
-                f32(0.0))
-            shadow_max = jnp.maximum(ldist - ray_eps, 0.0)
-            nee_active = hit & pick_d & (lpdf > 0.0) & ~absorbed
-            _, _, _, _, sh_hit = trace(
+        def shadow_trace(hx, hy, hz, ldx, ldy, ldz, smax):
+            _, _, _, _, sh = trace(
                 hx, hy, hz, ldx, ldy, ldz,
-                jnp.full((_BLK_SUB, _BLK_LANE), ray_eps, f32),
-                jnp.where(nee_active, shadow_max, f32(0.0)), False)
-            visible = ~sh_hit
-            cos_t = jnp.abs(_dot3(ldx, ldy, ldz, nx, ny, nz))
-            invpi = f32(1.0 / jnp.pi)
-            scale = cos_l * cos_t / jnp.maximum(lpdf, 1e-30)
-            gate = nee_active & visible
-            cr = cr + jnp.where(gate, kdx * invpi * lex * scale * wr, 0.0)
-            cg = cg + jnp.where(gate, kdy * invpi * ley * scale * wg, 0.0)
-            cb = cb + jnp.where(gate, kdz * invpi * lez * scale * wb, 0.0)
+                jnp.full((_BLK_SUB, _BLK_LANE), f32(0.00001), f32),
+                smax, False)
+            return sh.astype(jnp.int32)
 
-        # ---- emission (main.cc:964-971) ----
-        emit_gate = hit & pick_e & (do_em_i != 0) & ~absorbed
-        cos_e = jnp.maximum(-_dot3(onx, ony, onz, dx, dy, dz), 0.0)
-        cr = cr + jnp.where(emit_gate, cos_e * kex * wr, 0.0)
-        cg = cg + jnp.where(emit_gate, cos_e * key_ * wg, 0.0)
-        cb = cb + jnp.where(emit_gate, cos_e * kez * wb, 0.0)
-
-        # ---- next direction ----
-        ddn = _dot3(dx, dy, dz, nx, ny, nz)
-        sx = dx - 2.0 * ddn * nx
-        sy = dy - 2.0 * ddn * ny
-        sz = dz - 2.0 * ddn * nz
-
-        u1 = _uniform(ray_id, base + 4)
-        cphi, sphi = _sincos_2pi(_uniform(ray_id, base + 5), trig)
-        rr_ = jnp.sqrt(u1)
-        cdx_ = rr_ * cphi
-        cdy_ = rr_ * sphi
-        cdz_ = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
-        b1x, b1y, b1z, b2x, b2y, b2z = _onb(nx, ny, nz)
-        ddx = b1x * cdx_ + b2x * cdy_ + nx * cdz_
-        ddy = b1y * cdx_ + b2y * cdy_ + ny * cdz_
-        ddz = b1z * cdx_ + b2z * cdy_ + nz * cdz_
-
-        rnx = -inside * onx
-        rny = -inside * ony
-        rnz = -inside * onz
-        ndi = _dot3(rnx, rny, rnz, dx, dy, dz)
-        kk = 1.0 - n1 * n1 * (1.0 - ndi * ndi)
-        kroot = jnp.sqrt(jnp.maximum(kk, 0.0))
-        rxx = n1 * dx - (n1 * ndi + kroot) * rnx
-        rxy = n1 * dy - (n1 * ndi + kroot) * rny
-        rxz = n1 * dz - (n1 * ndi + kroot) * rnz
-        tir = kk < 0.0
-        rxx = jnp.where(tir, 0.0, rxx)
-        rxy = jnp.where(tir, 0.0, rxy)
-        rxz = jnp.where(tir, 0.0, rxz)
-
-        ndx = jnp.where(pick_s, sx, jnp.where(pick_d, ddx, rxx))
-        ndy = jnp.where(pick_s, sy, jnp.where(pick_d, ddy, rxy))
-        ndz = jnp.where(pick_s, sz, jnp.where(pick_d, ddz, rxz))
-        lwx = jnp.where(pick_s, ksx, jnp.where(pick_d, kdx, ktx))
-        lwy = jnp.where(pick_s, ksy, jnp.where(pick_d, kdy, kty))
-        lwz = jnp.where(pick_s, ksz, jnp.where(pick_d, kdz, ktz))
-        wr = wr * jnp.where(hit, lwx, 1.0)
-        wg = wg * jnp.where(hit, lwy, 1.0)
-        wb = wb * jnp.where(hit, lwz, 1.0)
-
-        alive = hit & ~pick_e & ~absorbed
-        # do_em stays int32 the whole way: a select with i1 operands
-        # lowers through an i8->i1 trunci Mosaic rejects
-        do_em_i = jnp.where(hit, (~pick_d).astype(jnp.int32), do_em_i)
-
-        return (jnp.where(hit, hx, px), jnp.where(hit, hy, py),
-                jnp.where(hit, hz, pz),
-                jnp.where(hit, ndx, dx), jnp.where(hit, ndy, dy),
-                jnp.where(hit, ndz, dz),
-                cr, cg, cb, wr, wg, wb,
-                alive.astype(jnp.int32), do_em_i)
+        st2 = (px, py, pz, dx, dy, dz, cr, cg, cb, wr, wg, wb,
+               alive_i, do_em_i)
+        return _bounce_step(
+            ray_id, base, st2, t, hu, hv, hitf, alive,
+            nx, ny, nz, kdx, kdy, kdz, kex, key_, kez, ksx, ksy, ksz,
+            ktx, kty, ktz, ior, dissolve, L, light_ref, trig,
+            shadow_trace, zeros)
 
     def sample(s, acc):
         ar, ag, ab = acc
@@ -446,6 +481,227 @@ def _render_fused_impl(tri, face, light, rays6, seed, n_lights, spp,
             (3, NB, _BLK_SUB, _BLK_LANE), jnp.float32),
         interpret=interpret,
     )(meta, tri, face, light, rays6)
+
+
+# ---------------------------------------------------------------------
+# BVH-traced fused kernel: same spp x bounce megakernel, but closest-hit
+# and NEE shadow rays walk a VMEM-resident dense BVH16
+# (traverse/fused_trace.py) instead of brute-forcing every triangle —
+# the fused path at reference scene scale (nanort.h:2487-2556 semantics;
+# the brute sweep stays for <= PT_FUSED_MAX_TRIS scenes where it wins).
+# ---------------------------------------------------------------------
+
+# VMEM cap for leaf+aux+node rows (~0.75 MB per 1K tris at 9/leaf)
+PT_FUSED_BVH_MAX_TRIS = 400_000
+_BVH_SUB = 16  # block sublanes: the traversal granule (one shared stack)
+
+
+def _pt_kernel_bvh(M, L, rr_start, trig, max_leaf, sub,
+                   meta_ref, mat_ref, light_ref, nodes_ref, leafs_ref,
+                   aux_ref, rays_ref, out_ref, stack_ref, leafq_ref):
+    from ..traverse.fused_trace import make_tracer
+
+    f32 = jnp.float32
+    kfar = f32(1.0e30)
+    eps_t = f32(0.001)
+
+    pid = pl.program_id(0)
+    seed = meta_ref[0]
+    spp = meta_ref[1]
+    max_bounces = meta_ref[2]
+
+    ox0 = rays_ref[0, 0]
+    oy0 = rays_ref[1, 0]
+    oz0 = rays_ref[2, 0]
+    dx0 = rays_ref[3, 0]
+    dy0 = rays_ref[4, 0]
+    dz0 = rays_ref[5, 0]
+
+    subi = jax.lax.broadcasted_iota(jnp.int32, (sub, _BLK_LANE), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, _BLK_LANE), 1)
+    ray_id = (pid * sub + subi) * _BLK_LANE + lane
+
+    zeros = jnp.zeros((sub, _BLK_LANE), f32)
+    iones = jnp.ones((sub, _BLK_LANE), jnp.int32)
+
+    tracer = make_tracer(nodes_ref, leafs_ref, stack_ref, leafq_ref,
+                         max_leaf=max_leaf, aux_ref=aux_ref,
+                         intersector="mt")
+
+    def mat_row(mid):
+        """Material-table row select (M is small: a handful of rows)."""
+        vals = [zeros] * 14
+
+        def body(i, vals):
+            m = mid == i
+            return tuple(jnp.where(m, mat_ref[i, c], v)
+                         for c, v in enumerate(vals))
+        return jax.lax.fori_loop(0, M, body, tuple(vals))
+
+    def bounce(b, s, st):
+        (px, py, pz, dx, dy, dz, cr, cg, cb, wr, wg, wb,
+         alive_i, do_em_i) = st
+        alive = alive_i != 0
+        base = seed + (s * (max_bounces + 1) + b) * 16
+
+        rr_apply = b > rr_start
+        u_rr = _uniform(ray_id, base + 0)
+        killed = rr_apply & (u_rr < 0.2)
+        alive = alive & ~killed
+        rr_fac = jnp.where(rr_apply, f32(1.25), f32(1.0))
+        wr = wr * rr_fac
+        wg = wg * rr_fac
+        wb = wb * rr_fac
+
+        tmax = jnp.where(alive, kfar, f32(0.0))
+        t, hu, hv, _pid, hit_i, mid, gnx, gny, gnz = tracer(
+            px, py, pz, dx, dy, dz,
+            jnp.full((sub, _BLK_LANE), eps_t, f32), tmax,
+            want_aux=True)
+        hitf = hit_i != 0
+        mid = jnp.maximum(mid, 0)  # miss lanes read material row 0
+
+        (kdx, kdy, kdz, kex, key_, kez, ksx, ksy, ksz,
+         ktx, kty, ktz, ior, dissolve) = mat_row(mid)
+
+        def shadow_trace(hx, hy, hz, ldx, ldy, ldz, smax):
+            return tracer(
+                hx, hy, hz, ldx, ldy, ldz,
+                jnp.full((sub, _BLK_LANE), f32(0.00001), f32), smax,
+                occlusion=True)
+
+        st2 = (px, py, pz, dx, dy, dz, cr, cg, cb, wr, wg, wb,
+               alive_i, do_em_i)
+        return _bounce_step(
+            ray_id, base, st2, t, hu, hv, hitf, alive,
+            gnx, gny, gnz, kdx, kdy, kdz, kex, key_, kez,
+            ksx, ksy, ksz, ktx, kty, ktz, ior, dissolve,
+            L, light_ref, trig, shadow_trace, zeros)
+
+    def sample(s, acc):
+        ar, ag, ab = acc
+        st = (ox0, oy0, oz0, dx0, dy0, dz0,
+              zeros, zeros, zeros,
+              jnp.ones((sub, _BLK_LANE), f32),
+              jnp.ones((sub, _BLK_LANE), f32),
+              jnp.ones((sub, _BLK_LANE), f32),
+              iones, iones)
+        st = jax.lax.fori_loop(
+            0, max_bounces, lambda b, c: bounce(b, s, c), st)
+        return (ar + st[6], ag + st[7], ab + st[8])
+
+    ar, ag, ab = jax.lax.fori_loop(0, spp, sample, (zeros, zeros, zeros))
+    out_ref[0, 0] = ar
+    out_ref[1, 0] = ag
+    out_ref[2, 0] = ab
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_mats", "n_lights", "rr_start", "trig", "max_leaf", "depth", "sub",
+    "interpret"))
+def _render_fused_bvh_impl(mat, light, nodes, leafs, aux, rays6, seed,
+                           n_mats, n_lights, spp, max_bounces, rr_start,
+                           trig, max_leaf, depth, sub, interpret):
+    from ..traverse.fused_trace import fused_scratch_shapes
+
+    NB = rays6.shape[1]
+    kern = functools.partial(_pt_kernel_bvh, n_mats, n_lights, rr_start,
+                             trig, max_leaf, sub)
+    meta = jnp.stack([jnp.asarray(seed, jnp.int32),
+                      jnp.asarray(spp, jnp.int32),
+                      jnp.asarray(max_bounces, jnp.int32)])
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            vmem, vmem, vmem,
+            pl.BlockSpec((6, 1, sub, _BLK_LANE), lambda i: (0, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((3, 1, sub, _BLK_LANE),
+                               lambda i: (0, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (3, NB, sub, _BLK_LANE), jnp.float32),
+        scratch_shapes=fused_scratch_shapes(depth),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(meta, mat, light, nodes, leafs, aux, rays6)
+
+
+def build_fused_bvh_tables(scene):
+    """(mat, light, nodes, leafs, aux) device arrays for the BVH kernel.
+
+    Requires ``scene.scene8`` to be a width-16 (dense single-row) BVH16
+    with the watertight leaf layout, and ``scene.fused_aux`` (the
+    traverse/fused_trace.build_aux_rows table) attached by make_pt_scene.
+    """
+    mats = scene.materials
+    mat = jnp.concatenate([
+        jnp.asarray(mats.diffuse, jnp.float32),
+        jnp.asarray(mats.emission, jnp.float32),
+        jnp.asarray(mats.specular, jnp.float32),
+        jnp.asarray(mats.transmittance, jnp.float32),
+        jnp.asarray(mats.ior, jnp.float32)[:, None],
+        jnp.asarray(mats.dissolve, jnp.float32)[:, None],
+    ], axis=1)
+    light = (scene.light_table if scene.light_table is not None
+             else jnp.zeros((0, 16), jnp.float32))
+    s8 = scene.scene8
+    return (mat, light, jnp.asarray(s8.nodes), jnp.asarray(s8.leafs),
+            jnp.asarray(scene.fused_aux))
+
+
+def fused_bvh_eligible(scene) -> bool:
+    """True when `scene` can ride the BVH-traced fused megakernel."""
+    s8 = scene.scene8
+    return (s8 is not None and getattr(s8, "width", 8) == 16
+            and getattr(scene, "fused_aux", None) is not None
+            and scene.facevarying_normals is None
+            and scene.mesh.num_faces <= PT_FUSED_BVH_MAX_TRIS
+            and (scene.light_table is not None
+                 or scene.light_faces.shape[0] == 0))
+
+
+def render_fused_bvh(scene, org, dirs, key, spp, max_bounces=8,
+                     rr_start=3, trig="native", sub=_BVH_SUB,
+                     interpret=None):
+    """BVH-traced fused render: radiance means (R, 3), like
+    ``render_fused`` but traversing scene.scene8 in-kernel instead of
+    brute-forcing the triangle list."""
+    if not fused_bvh_eligible(scene):
+        raise ValueError(
+            f"scene not eligible for the fused BVH kernel "
+            f"(F={scene.mesh.num_faces}, scene8={scene.scene8 is not None})")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    seed = _seed_from_key(key)
+    mat, light, nodes, leafs, aux = build_fused_bvh_tables(scene)
+    n_mats = int(mat.shape[0])
+    n_lights = int(light.shape[0])
+    if n_lights == 0:
+        light = jnp.zeros((1, 16), jnp.float32)
+    org = jnp.asarray(org, jnp.float32).reshape(-1, 3)
+    dirs = jnp.asarray(dirs, jnp.float32).reshape(-1, 3)
+    R = org.shape[0]
+    blk = sub * _BLK_LANE
+    NB = -(-R // blk)
+    pad = NB * blk - R
+    rays6 = jnp.concatenate([org.T, dirs.T], axis=0)  # (6, R)
+    if pad:
+        rays6 = jnp.pad(rays6, ((0, 0), (0, pad)), mode="edge")
+    rays6 = rays6.reshape(6, NB, sub, _BLK_LANE)
+    out = _render_fused_bvh_impl(
+        mat, light, nodes, leafs, aux, rays6, seed, n_mats, n_lights,
+        int(spp), int(max_bounces), int(rr_start), trig,
+        int(scene.scene8.max_leaf), int(scene.scene8.depth), int(sub),
+        bool(interpret))
+    color = out.reshape(3, NB * blk)[:, :R].T
+    return color / jnp.float32(spp)
 
 
 def fused_eligible(scene) -> bool:

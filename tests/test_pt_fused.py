@@ -111,3 +111,52 @@ def test_render_path_traced_fused_route(cornell):
         max_bounces=3, fused=True)
     assert img.shape == (8, 8, 3)
     assert not np.isnan(np.asarray(img)).any()
+
+
+# ---------------------------------------------------------------------
+# BVH-traced fused kernel (render_fused_bvh): same RNG stream and the
+# same Möller–Trumbore ops as the brute kernel, traversal replacing the
+# all-triangles sweep — images must be bit-identical except for paths
+# that hit an exactly-equal-t shared edge (tie order: traversal vs prim
+# order, the repo-wide contract) and their chaotic descendants.
+# ---------------------------------------------------------------------
+
+def _attach_bvh_tables(scene, sv, sf, mids):
+    from nanort_tpu import BVHBuildOptions, build_triangle_bvh
+    from nanort_tpu.build.bvh8 import collapse_bvh8
+    from nanort_tpu.traverse.fused_trace import build_aux_rows
+
+    v = np.asarray(sv)
+    f = np.asarray(sf)
+    bvh, _ = build_triangle_bvh(
+        scene.mesh, BVHBuildOptions(min_leaf_primitives=4,
+                                    max_leaf_primitives=4))
+    s8 = collapse_bvh8(bvh, v, f, width=16)
+    aux = build_aux_rows(
+        s8.leafs, mids, f, v, s8.max_leaf,
+        gn_unit=np.asarray(scene.face_table[:, 0:3], np.float32))
+    s8 = s8._replace(nodes=jnp.asarray(s8.nodes),
+                     leafs=jnp.asarray(s8.leafs))
+    return scene._replace(scene8=s8, fused_aux=jnp.asarray(aux))
+
+
+def test_fused_bvh_matches_brute(cam_rays):
+    from nanort_tpu.models.pt_fused import (
+        fused_bvh_eligible,
+        render_fused_bvh,
+    )
+
+    sv, sf, mids, mats = make_cornell_pt_scene(2.0)
+    scene = _attach_bvh_tables(make_pt_scene(sv, sf, mids, mats),
+                               sv, sf, mids)
+    assert fused_bvh_eligible(scene)
+    org, d = cam_rays
+    img_b = np.asarray(render_fused(scene, org, d, 7, 6, max_bounces=4))
+    img_v = np.asarray(
+        render_fused_bvh(scene, org, d, 7, 6, max_bounces=4))
+    assert not np.isnan(img_v).any()
+    same = img_b == img_v
+    # the bulk of the image is bit-identical; only tie-hit paths diverge
+    assert same.mean() > 0.9, same.mean()
+    rel = abs(img_v.mean() - img_b.mean()) / max(img_b.mean(), 1e-9)
+    assert rel < 0.05, (img_v.mean(), img_b.mean())
