@@ -26,6 +26,11 @@ class ObjMesh(NamedTuple):
     facevarying_uvs: np.ndarray | None  # (F, 3, 2)
     material_ids: np.ndarray  # (F,) i32 (-1 = none)
     materials: dict  # path-tracer material arrays
+    # per-face `o`/`g` group index + the group names in file order
+    # (empty/-1 when the file declares no objects) — lets callers remap
+    # materials by object name for assets whose .mtl is degenerate
+    object_ids: np.ndarray | None = None  # (F,) i32
+    object_names: tuple = ()
 
 
 def _default_material():
@@ -75,10 +80,12 @@ def load_mtl(path: str) -> dict:
 
 def load_obj(path: str) -> ObjMesh:
     vs, vns, vts = [], [], []
-    faces, fn_idx, ft_idx, fmat = [], [], [], []
+    faces, fn_idx, ft_idx, fmat, fobj = [], [], [], [], []
     mtl_map: dict = {}
     mtl_names: list[str] = []
+    obj_names: list[str] = []
     cur_mat = -1
+    cur_obj = -1
 
     def mat_index(name):
         if name not in mtl_names:
@@ -112,6 +119,9 @@ def load_obj(path: str) -> ObjMesh:
                 )
             elif k == "usemtl":
                 cur_mat = mat_index(tok[1])
+            elif k in ("o", "g") and len(tok) > 1:
+                obj_names.append(tok[1])
+                cur_obj = len(obj_names) - 1
             elif k == "f":
                 idx = [parse_vert(t) for t in tok[1:]]
                 for i in range(1, len(idx) - 1):  # fan triangulation
@@ -120,6 +130,7 @@ def load_obj(path: str) -> ObjMesh:
                     ft_idx.append([t[1] for t in tri])
                     fn_idx.append([t[2] for t in tri])
                     fmat.append(cur_mat)
+                    fobj.append(cur_obj)
 
     vertices = np.asarray(vs, np.float32)
     faces_a = np.asarray(faces, np.int32)
@@ -155,7 +166,72 @@ def load_obj(path: str) -> ObjMesh:
         facevarying_uvs=uv,
         material_ids=material_ids,
         materials=materials,
+        object_ids=np.asarray(fobj, np.int32),
+        object_names=tuple(obj_names),
     )
+
+
+def remap_materials_by_object(mesh: ObjMesh, mapping: dict) -> ObjMesh:
+    """Assign materials by object-group name prefix.
+
+    ``mapping`` is {name_prefix: material fields} (fields as in
+    ``_default_material``; missing keys take defaults). An object whose
+    name starts with a mapping key (case-insensitive, longest prefix
+    wins) gets that material; unmatched objects get ``mapping.get("*")``
+    or the file's defaults. Used to light assets whose shipped .mtl is
+    degenerate — e.g. the reference's cornellbox_suzanne.obj declares
+    ONE no-emission material (examples/common/cornellbox_suzanne.mtl),
+    so the de-facto config-B scene is lit by mapping its object groups
+    (lightobj/left/right/...) to the sibling cornellbox_suzanne_lucy.mtl
+    material values.
+    """
+    names = [k for k in mapping if k != "*"]
+    mats = []
+    obj_to_mat = []
+    for oname in mesh.object_names:
+        low = oname.lower()
+        best = None
+        for k in sorted(names, key=len, reverse=True):
+            if low.startswith(k.lower()):
+                best = k
+                break
+        if best is None and "*" in mapping:
+            best = "*"
+        m = _default_material()
+        if best is not None:
+            m.update(mapping[best])
+        obj_to_mat.append(len(mats))
+        mats.append(m)
+    if not mats:
+        mats = [_default_material()]
+        obj_to_mat = [0]
+    oid = (np.zeros(len(mesh.faces), np.int32)
+           if mesh.object_ids is None else mesh.object_ids)
+    material_ids = np.asarray(obj_to_mat, np.int32)[np.maximum(oid, 0)]
+    materials = dict(
+        diffuse=np.asarray([m["diffuse"] for m in mats], np.float32),
+        emission=np.asarray([m["emission"] for m in mats], np.float32),
+        specular=np.asarray([m["specular"] for m in mats], np.float32),
+        transmittance=np.asarray(
+            [m["transmittance"] for m in mats], np.float32),
+        ior=np.asarray([m["ior"] for m in mats], np.float32),
+        dissolve=np.asarray([m["dissolve"] for m in mats], np.float32),
+    )
+    return mesh._replace(material_ids=material_ids, materials=materials)
+
+
+# cornellbox_suzanne.obj group -> cornellbox_suzanne_lucy.mtl values
+# (Light/Wall_Red/Wall_Green/Wall_White/Monkey), the de-facto config-B
+# protocol-scene lighting (see remap_materials_by_object docstring)
+CORNELL_GROUP_MATERIALS = {
+    "lightobj": dict(diffuse=[0.0, 0.0, 0.0],
+                     emission=[15.0, 15.0, 15.0]),
+    "left": dict(diffuse=[0.4096, 0.050353, 0.037544]),
+    "right": dict(diffuse=[0.023333, 0.4096, 0.047991]),
+    "suzanne": dict(diffuse=[0.0, 0.0, 0.0],
+                    specular=[1.0, 1.0, 1.0]),
+    "*": dict(diffuse=[0.8, 0.8, 0.8]),
+}
 
 
 def save_obj(path: str, vertices, faces) -> None:

@@ -103,12 +103,19 @@ def render_aovs(
     hits = _traverse_primary(
         bvh, mesh, rays, options, max_leaf, scene8, specialize
     )
+    return aovs_from_hits(mesh, attrs, rays, hits), hits
+
+
+def aovs_from_hits(mesh, attrs, rays, hits):
+    """AOV dict from primary-hit records (the render_aovs assembly,
+    shared with the fused AO kernel so both paths emit bit-identical
+    AOVs for identical records)."""
     hit = hits.hit
     n = shading_normals(mesh, attrs, hits)
     # flip toward the ray like the normal-shading example output
     rgb = jnp.where(hit[..., None], 0.5 * n + 0.5, jnp.zeros_like(n))
     pos = rays.org + hits.t[..., None] * rays.dir
-    aovs = {
+    return {
         "rgb": rgb,
         "normal": jnp.where(hit[..., None], n, 0.0),
         "position": jnp.where(hit[..., None], pos, 0.0),
@@ -117,7 +124,6 @@ def render_aovs(
         "prim_id": hits.prim_id,
         "hit": hit,
     }
-    return aovs, hits
 
 
 def _cosine_hemisphere(key, shape, dtype):
