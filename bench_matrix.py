@@ -98,8 +98,11 @@ def main():
         ):
             rays_t, _ = tile_image_rays(rays, *tile)
             spec = detect_specialization(rays_t, sub=sub)
-            kw = dict(intersector="woop", sub=sub,
-                      specialize=(None, spec[1]) if spec else None) \
+            # full spec tuple for BOTH engines, exactly like bench.py
+            # (traverse_bvh8 drops kz_static itself for woop); the old
+            # (None, shared) form under-specialized the turbo row
+            # (ADVICE r3 #4)
+            kw = dict(intersector="woop", sub=sub, specialize=spec) \
                 if woop else dict(sub=sub, specialize=spec)
             h = traverse_bvh8(s16, rays_t, **kw)
             float(h.t.min())
@@ -155,7 +158,12 @@ def main():
              effective_mrays=round(total_rays / min(ts) / 1e6, 2),
              tris=len(f), ao_samples=n_samples)
 
-    # ---- config B: path tracer 512^2 x SPP ----
+    # ---- config B: path tracer 512^2 x SPP on the PROTOCOL scene ----
+    # BASELINE.md's own protocol: "run ... path_tracer on the bundled
+    # cornellbox_suzanne.obj" (974 faces, reference
+    # examples/path_tracer/main.cc:704-705). The scene rides the
+    # BVH-traced fused Pallas megakernel via render_path_traced's
+    # auto-routing (models/pt_fused.render_fused_bvh).
     if "config_b" not in SKIP:
         from nanort_tpu.models.path_tracer import (
             make_pt_scene,
@@ -163,31 +171,50 @@ def main():
         )
 
         spp = int(os.environ.get("NANORT_MATRIX_SPP", 100))
-        sv, sf, mids, mats = make_cornell_pt_scene(2.0)
+        obj_path = os.environ.get(
+            "NANORT_MATRIX_OBJ",
+            "/root/reference/examples/common/cornellbox_suzanne.obj")
+        if os.path.exists(obj_path):
+            from nanort_tpu.io.obj import (
+                CORNELL_GROUP_MATERIALS,
+                load_obj,
+                remap_materials_by_object,
+            )
+
+            m = load_obj(obj_path)
+            m = remap_materials_by_object(m, CORNELL_GROUP_MATERIALS)
+            sv, sf, mids, mats = (m.vertices, m.faces, m.material_ids,
+                                  m.materials)
+            scene_tag = os.path.basename(obj_path)
+            bmin = np.asarray(sv).min(0)
+            bmax = np.asarray(sv).max(0)
+            ctr = (bmin + bmax) / 2
+            eye = tuple(ctr + np.asarray(
+                [0, 0, 2.5 * (bmax - bmin).max()]))
+            ctr = tuple(ctr)
+        else:
+            sv, sf, mids, mats = make_cornell_pt_scene(2.0)
+            scene_tag = "procedural_cornell"
+            eye, ctr = (0, 0.0, 5.0), (0, 0, 0)
         pts = make_pt_scene(sv, sf, mids, mats, engine="pallas")
-        cam = look_at(eye=(0, 0.0, 5.0), center=(0, 0, 0),
-                      width=512, height=512, fov=45.0)
+        cam = look_at(eye=eye, center=ctr, width=512, height=512, fov=45.0)
         rays = pinhole_rays(cam)
         key = jax.random.PRNGKey(3)
 
-        # spp advances in megabatches (25 spp x 262K pixels = 6.55M-ray
-        # bounce rounds); warm with ONE megabatch of the SAME shape or
-        # the timed run eats the remote Pallas compile (~40s+)
-        batch = 25
-
         def run_b(n):
             img = render_path_traced(pts, rays, key, spp=n, max_bounces=10,
-                                     tile=16384, spp_batch=batch)
+                                     tile=16384)
             return readback(img.mean())
 
         t0 = time.perf_counter()
-        run_b(batch)
-        print(f"# config_b first ({batch} spp) {time.perf_counter()-t0:.0f}s",
+        run_b(1)
+        print(f"# config_b first (1 spp) {time.perf_counter()-t0:.0f}s",
               file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         run_b(spp)
         dur = time.perf_counter() - t0
         emit("path_tracer_512_spp", dur, "s", spp=spp,
+             scene=scene_tag, faces=int(np.asarray(sf).shape[0]),
              samples_per_s=round(512 * 512 * spp / dur / 1e6, 2))
 
     # ---- incoherent: fully-random rays, treelet-binned engine ----
@@ -337,18 +364,31 @@ def main():
         # exhausts HBM on allocator fragmentation even after freeing the
         # first tables (tools/logs/exp_r3_devbuild5.*), and real usage
         # builds a given scene bucket once
-        try:
-            t0 = time.perf_counter()
-            sd = collapse_lbvh_device(vd, fd, width=16, max_leaf=9)
-            float(np.asarray(sd.nodes[0, 0]))
-            dev_build_s = time.perf_counter() - t0
+        # one retry: runs during TPU fault recovery fail with transient
+        # UNAVAILABLE/INTERNAL errors (memory/axon-tpu-quirks class) —
+        # retry before recording a failure, and record failures as
+        # explicit rows rather than dropping them (ADVICE r3 #2)
+        last_err = None
+        for attempt in range(2):
+            try:
+                t0 = time.perf_counter()
+                sd = collapse_lbvh_device(vd, fd, width=16, max_leaf=9)
+                float(np.asarray(sd.nodes[0, 0]))
+                dev_build_s = time.perf_counter() - t0
+                emit("coherent_primary_mrays_per_s_10mtri_devicebuild",
+                     time_traverse(sd), "Mrays/s",
+                     device_build_incl_compile_s=round(dev_build_s, 2),
+                     res=res, sub=sub_t)
+                last_err = None
+                break
+            except Exception as e:
+                last_err = f"{type(e).__name__}: {e}"[:200]
+                print(f"# devicebuild attempt {attempt} failed: "
+                      f"{type(e).__name__}", file=sys.stderr, flush=True)
+                time.sleep(150)  # TPU worker fault recovery window
+        if last_err is not None:
             emit("coherent_primary_mrays_per_s_10mtri_devicebuild",
-                 time_traverse(sd), "Mrays/s",
-                 device_build_incl_compile_s=round(dev_build_s, 2),
-                 res=res, sub=sub_t)
-        except Exception as e:
-            print(f"# devicebuild row failed: {type(e).__name__}",
-                  file=sys.stderr, flush=True)
+                 -1.0, "Mrays/s", error=last_err, res=res, sub=sub_t)
 
     with open("BENCH_MATRIX.json", "w") as fh:
         json.dump(ROWS, fh, indent=1)

@@ -69,8 +69,13 @@ def _make_range_minmax(sorted_lo, sorted_hi, n: int):
 
     # small tier covers len <= 2*B exactly (len in (B, 2B] uses the two
     # k = LOG_SMALL windows); block tier handles len > 2*B, where a and
-    # b are guaranteed to sit in DIFFERENT blocks. Level count is capped
-    # at 4 (~1 GB at 10M tris) — the flat table is the memory hot spot.
+    # b are guaranteed to sit in DIFFERENT blocks. Levels live as
+    # SEPARATE (n, 6) arrays, NOT one flat (levels*n, 6) concat: the
+    # flat table needed a ~1 GB CONTIGUOUS block at 10M tris, which is
+    # exactly the allocation a fragmented post-first-build heap cannot
+    # serve (the r3 rebuild RESOURCE_EXHAUSTED class). Per-level
+    # queries gather each level at its own static window offset and
+    # select by k — a few extra cheap row gathers, no flat table.
     LOG_SMALL = 3
     LOG_B = 4
     B = 1 << LOG_B
@@ -85,7 +90,6 @@ def _make_range_minmax(sorted_lo, sorted_hi, n: int):
     levels = [m]
     for k in range(1, n_small_lv):
         levels.append(shift_min(levels[-1], 1 << (k - 1), n))
-    ts = jnp.concatenate(levels, axis=0)  # (n_small_lv * n, 6)
 
     nb = -(-n // B)
     pad = nb * B - n
@@ -101,6 +105,9 @@ def _make_range_minmax(sorted_lo, sorted_hi, n: int):
     blevels = [bm]
     for k in range(1, n_block_lv):
         blevels.append(shift_min(blevels[-1], 1 << (k - 1), nb))
+    # the block table stays flat: ~300 MB contiguous at 10M tris (vs
+    # the small tier's ~1 GB), and per-level selection here would cost
+    # ~2*n_block_lv extra n-sized gathers per query
     tb = jnp.concatenate(blevels, axis=0)  # (n_block_lv * nb, 6)
 
     def ilog2(x):
@@ -109,13 +116,17 @@ def _make_range_minmax(sorted_lo, sorted_hi, n: int):
     def query(a, b):
         """Range (lo, hi) over sorted prims [a, b] inclusive; a <= b."""
         size = b - a + 1
-        # small tier: len <= B
+        # small tier: len <= B — per-level gathers, selected by k
         k = jnp.minimum(ilog2(size), i32(n_small_lv - 1))
-        off = k * i32(n)
-        small = jnp.minimum(
-            jnp.take(ts, off + a, axis=0),
-            jnp.take(ts, off + b - (i32(1) << k) + 1, axis=0),
-        )
+        small = None
+        for j in range(n_small_lv):
+            bj = jnp.maximum(b - (i32(1) << j) + 1, 0)
+            cand = jnp.minimum(
+                jnp.take(levels[j], a, axis=0),
+                jnp.take(levels[j], bj, axis=0),
+            )
+            small = cand if small is None else jnp.where(
+                (k == j)[:, None], cand, small)
         if n <= B:
             res = small
         else:

@@ -48,6 +48,12 @@ from ..core.options import BVHTraceOptions, INVALID_PRIM_ID
 from ..core.ray import Hits, Rays
 
 LANES = 128
+# pltpu.roll shift that makes lane L read lane L+k (frustum16 axis
+# folds); roll(x, s)[l] = x[(l - s) % 128], so L+k needs s = 128 - k
+# (verified on v5e, tools/exp_r4_rollprobe.py)
+ROLL_M1 = 127
+ROLL_M2 = 126
+ROLL_M3 = 125
 DEF_SUB = 32  # sublanes per packet -> 32*128 = 4096 rays (best measured
 # for both coherent megabatches and sorted secondary bounces: big packets
 # amortize the ~800ns per-node scalar sync now that ordered traversal
@@ -88,6 +94,7 @@ def _kernel_body(
     shared_origin: bool = False,
     uniform_sign: bool = False,
     width: int = 8,
+    fr_pop_n: int = 2,
     nodes_hi_ref=None,
     leafs_hi_ref=None,
     n_node_lo: int = 0,
@@ -647,6 +654,102 @@ def _kernel_body(
         sp, lq = _push8(row, mask, 0, sp, lq)
         return sp, lq, T
 
+    # ------------------------------------------------------------------
+    # Lane-parallel frustum node phase (width 16, dense single-row
+    # nodes). The r3 scalar frustum LOST to the per-ray vector vote
+    # because ~30 scalar flops x 8 children serialized against the VPU;
+    # this variant computes ALL 16 children's conservative interval
+    # tests in ~30 VPU ops on the (1, 128) node row itself — child w's
+    # slab bounds live at lanes [6w, 6w+6), so per-lane arithmetic with
+    # packet-constant interval vectors + lane rolls yields each child's
+    # (tmin, tmax) at lane 6w. vs the per-ray vote that is ~17 vector
+    # ops x 32 children on (sub, 128) tiles per pop — two orders of
+    # magnitude less VPU work per node. Records stay bit-identical:
+    # the node phase only picks a CONSERVATIVE visit superset (an
+    # extra-visited leaf can never produce an accepted hit — its tmin
+    # exceeded every ray's current t bound) and the push order is the
+    # same near-first order as the per-ray phase.
+    # ------------------------------------------------------------------
+    if frustum and packed16:
+        _lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        _mod6 = _lane % 6
+        _ax = jnp.where(_mod6 >= 3, _mod6 - 3, _mod6)
+        _is_hi = _mod6 >= 3
+
+        def _sel3(v):
+            return jnp.where(_ax == 0, v[0],
+                             jnp.where(_ax == 1, v[1], v[2]))
+
+        # slo = b0 - ohi (at b0 lanes), shi = b1 - olo (at b1 lanes)
+        _oref_l = jnp.where(_is_hi, _sel3(f_olo), _sel3(f_ohi))
+        _i1_l = _sel3(f_ilo)
+        _i2_l = _sel3(f_ihi)
+        _wt_l = jnp.where(
+            (_mod6 == 0) & (_lane < 96),
+            jax.lax.shift_left(jnp.int32(1), _lane // 6),
+            0,
+        )
+
+    def _ftest16(row, T):
+        """Conservative interval test of all 16 children of one (1, 128)
+        node row: bit w set at every lane iff child w's frustum interval
+        is non-empty. ~20 (1, 128) VPU ops per node.
+
+        Interval product per lane: [slo,shi] x [ilo,ihi] needs the
+        min/max of 4 products; lanes 6w+a carry slo*i1, slo*i2 and
+        lanes 6w+3+a carry shi*i1, shi*i2 — one roll combines them."""
+        s = row - _oref_l
+        p1 = s * _i1_l
+        p2 = s * _i2_l
+        lo = jnp.minimum(p1, p2)
+        hi = jnp.maximum(p1, p2)
+        lo = jnp.minimum(lo, pltpu.roll(lo, ROLL_M3, axis=1))
+        hi = jnp.maximum(hi, pltpu.roll(hi, ROLL_M3, axis=1))
+        hi = hi * MM
+        # fold the 3 axes down to lane 6w
+        tmin = jnp.maximum(jnp.maximum(lo, pltpu.roll(lo, ROLL_M1, axis=1)),
+                           pltpu.roll(lo, ROLL_M2, axis=1))
+        tmax = jnp.minimum(jnp.minimum(hi, pltpu.roll(hi, ROLL_M1, axis=1)),
+                           pltpu.roll(hi, ROLL_M2, axis=1))
+        tmin = jnp.maximum(tmin, f_mlo)
+        tmax = jnp.minimum(tmax, T)
+        # empty slots carry inverted boxes (b0x > b1x): reject explicitly
+        live = row <= pltpu.roll(row, ROLL_M3, axis=1)
+        return jnp.where((tmin <= tmax) & live, _wt_l, 0)
+
+    def node_step_frustum16(c):
+        """Multi-pop lane-parallel frustum step: pop_n nodes per while
+        iteration, tested in 2-node groups whose masks fold on the VPU;
+        ALL group masks then read back-to-back — the vector->scalar
+        pipeline drain (the ~us-class cost that sank both the r3 scalar
+        frustum and the single-pop v1) is paid ~once for the whole
+        group batch instead of once per node."""
+        sp, lq, T = c
+        if debug_counts:
+            leafq_ref[60] = leafq_ref[60] + 1
+        sp = sp - 1
+        rows = [_fetch_row(stack_ref[sp], 0)[0:1]]
+        for k in range(1, fr_pop_n):
+            hask = (sp > 0).astype(jnp.int32)
+            sp = sp - hask
+            idxk = jnp.where(hask == 1, stack_ref[sp], dummy_idx)
+            rows.append(_fetch_row(idxk, k)[0:1])
+        mvecs = []
+        for g in range(0, fr_pop_n, 2):
+            mv = _ftest16(rows[g], T)
+            if g + 1 < fr_pop_n:
+                mv = mv | (_ftest16(rows[g + 1], T) << 16)
+            for sh in (64, 32, 16, 8, 4, 2, 1):
+                mv = mv | pltpu.roll(mv, sh, axis=1)
+            mvecs.append(mv)
+        masks = [mv[0, 0] for mv in mvecs]
+        # push farther-popped nodes' children first (near-first pops)
+        for g in range(len(masks) - 1, -1, -1):
+            if 2 * g + 1 < fr_pop_n:
+                sp, lq = _push8(rows[2 * g + 1], masks[g], 16, sp, lq)
+            sp, lq = _push8(rows[2 * g], masks[g], 0, sp, lq)
+        return sp, lq, T
+
     def _fold_max_scalar(x):
         for sh in (64, 32, 16, 8, 4, 2, 1):
             x = jnp.maximum(x, pltpu.roll(x, sh, axis=1))
@@ -721,12 +824,14 @@ def _kernel_body(
         if not frustum:
             return run_perray()
 
+        frustum_step = node_step_frustum16 if packed16 else node_step_frustum
+
         def outer_frustum(state):
             sp, it, T = state[0], state[1], state[2]
             acc = state[3:]
             sp, lq, T = jax.lax.while_loop(
                 lambda c: (c[0] > 0) & (c[1] < LQ_CAP),
-                node_step_frustum,
+                frustum_step,
                 (sp, jnp.int32(0), T),
             )
             _start_queued(lq)
@@ -848,6 +953,7 @@ def _make_kernel(
     node_split: int = 0,
     leaf_split: int = 0,
     width: int = 8,
+    fr_pop_n: int = 2,
     interpret: bool = False,
 ):
     inner = functools.partial(
@@ -874,6 +980,7 @@ def _make_kernel(
         shared_origin=shared_origin,
         uniform_sign=uniform_sign,
         width=width,
+        fr_pop_n=fr_pop_n,
         n_node_lo=node_split,
         n_leaf_lo=leaf_split,
     )
@@ -904,7 +1011,7 @@ def _make_kernel(
     if hbm_nodes:
         nr = 1 if width == 16 else width // 8  # packed16: one row/node
         scratch += [
-            pltpu.VMEM((max(2, pop_n) * nr, LANES), jnp.float32),
+            pltpu.VMEM((max(2, pop_n, fr_pop_n) * nr, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ]
     if hbm_leafs:
@@ -1052,6 +1159,7 @@ def traverse_bvh8(
     dual_pop: bool = True,
     pop_n: int | None = None,
     frustum: str | bool = "auto",
+    frustum_pop_n: int = 2,
     t_sync_every: int = 2,
     lq_cap: int = 1,
     intersector: str = "watertight",
@@ -1166,12 +1274,12 @@ def traverse_bvh8(
     width = getattr(scene, "width", 8)
     if width == 16:
         # 16-wide nodes: 32 mask bits at pop_n=2 is the int32 budget;
-        # the frustum scalar phase and the split-table probe only
-        # implement the 8-wide row walk
+        # the split-table probe only implements the 8-wide row walk.
+        # frustum here takes the LANE-PARALLEL node phase
+        # (node_step_frustum16): all 16 children tested in ~30 (1, 128)
+        # VPU ops per pop instead of ~17 ops x 32 children on
+        # (sub, 128) tiles — the headline engine for coherent batches.
         node_split = False
-        if frustum is True:
-            raise ValueError("frustum node phase supports width=8 only")
-        frustum = False
     bs = rays.batch_shape
     flat = jax.tree_util.tree_map(
         lambda x: x.reshape((-1,) + x.shape[len(bs):]), rays
@@ -1320,7 +1428,8 @@ def traverse_bvh8(
         # 16*depth bound overflowed the SMEM stack and faulted the chip)
         _stack_slots
         if _stack_slots is not None
-        else max(64, width * scene.depth * max(2, pop_n) + 64),
+        else max(64, width * scene.depth
+                 * max(2, pop_n, frustum_pop_n if frustum else 0) + 64),
         vmem_mb,
         scene.max_leaf,
         pop_n,
@@ -1342,6 +1451,7 @@ def traverse_bvh8(
         n_node_lo,
         n_leaf_lo,
         width,
+        frustum_pop_n,
         # NOTE: interpret=True nominally lets CPU cover this kernel, but
         # the Pallas interpreter is impractically slow on it (a 256-ray
         # toy config exceeds 9 min); TPU verification stays with

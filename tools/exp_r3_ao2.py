@@ -4,7 +4,7 @@ probe layout variants that skip the Morton sort (AO rays inherit pixel
 coherence from the primary image; the sort's gather tax may be pure
 overhead here).
 
-Variants (all bit-compared to the shipped recipe's AO image):
+Variants:
   full_shipped   render_ao(scene8, octant_major=True, sub=8)  [reference]
   primary_only   render_aovs through the packet kernel
   occ_sorted     pre-built occlusion batch through traverse_bvh8_sorted
@@ -12,7 +12,16 @@ Variants (all bit-compared to the shipped recipe's AO image):
   occ_direct_sM  same batch, NO sort, sample-major layout, direct kernel
   occ_direct_pM  same batch, NO sort, pixel-major layout (all 8 samples
                  of 128 consecutive pixels per packet), direct kernel
-  full_nosort    render_ao equivalent with the winning occ variant
+
+NOTE on the correctness check (ADVICE r3 #3): the occ_* variants are
+compared by their scalar *unoccluded count* against the FIRST occ
+variant (occ_sorted), not bit-against full_shipped's AO image — the
+shipped image (ao_ref) is rendered for timing only. A "_unoccdiff=0"
+therefore shows the occ variants agree with each other; it does not
+re-verify occ_sorted against the shipped recipe (that parity is covered
+by tests/test_objrender.py). A full_nosort end-to-end variant was
+planned but never implemented; the winning layout (occ_direct_pM) was
+adopted directly by models/objrender.render_ao instead.
 
 Run: nohup python tools/exp_r3_ao2.py > tools/logs/exp_r3_ao2.out 2> tools/logs/exp_r3_ao2.log &
 """

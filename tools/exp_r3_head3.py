@@ -104,10 +104,14 @@ def main():
     spec_w = detect_specialization(rays_w, sub=64)
 
     def bench_woop(tag, **kw):
+        # pass the FULL detected specialization tuple, exactly like
+        # bench.py's shipped turbo recipe (ADVICE r3 #4: the earlier
+        # (None, shared_origin) form dropped kz/uniform_sign and
+        # under-measured the turbo ceiling); traverse_bvh8 itself
+        # drops kz_static for the woop intersector
         def go():
             h = traverse_bvh8(s, rays_w, sub=64, intersector="woop",
-                              specialize=(None, spec_w[1]) if spec_w else None,
-                              **kw)
+                              specialize=spec_w, **kw)
             float(h.t.min())
         try:
             go()
