@@ -154,10 +154,22 @@ def _make_range_minmax(sorted_lo, sorted_hi, n: int):
     return query
 
 
-@functools.partial(jax.jit, static_argnames=("n", "max_leaf"))
-def _phase_a_topo(vertices, faces, n: int, max_leaf: int):
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "max_leaf", "sah_levels", "sah_bins", "sah_stop"),
+)
+def _phase_a_topo(vertices, faces, n: int, max_leaf: int,
+                  sah_levels: int = 0, sah_bins: int = 16,
+                  sah_stop: int = 64):
     """Phase A, stage 1: Morton sort, Karras topology, and every node /
     collapsed-leaf bbox via the O(1) range-min tables.
+
+    ``sah_levels > 0`` inserts the reordering binned-SAH top phase
+    (build/sah_top.py): the top ``sah_levels`` of the tree follow the
+    reference's SAH criterion with real centroid partitioning, Morton
+    topology below — the r3-measured fix for the LBVH node-visit tax
+    (contiguous-order split tweaks are a measured dead end; see
+    lbvh.hybrid_deltas).
 
     A separate jit from the record stage so the sparse min-tables
     (~1.7 GB of transients at 10M tris) are FREED before the record
@@ -176,7 +188,22 @@ def _phase_a_topo(vertices, faces, n: int, max_leaf: int):
     codes = morton_codes(centers, scene_lo, scene_hi)
     order = jnp.argsort(codes).astype(i32)
     codes = jnp.take(codes, order)
-    first, last, split = _karras_topology(codes, n)
+    if sah_levels > 0:
+        from .sah_top import sah_hybrid_deltas, sah_top_partition
+        from .lbvh import _topology_from_deltas
+
+        perm, rcodes = sah_top_partition(
+            jnp.take(centers, order, axis=0),
+            jnp.take(prim_lo, order, axis=0),
+            jnp.take(prim_hi, order, axis=0),
+            n, levels=sah_levels, bins=sah_bins, stop_cap=sah_stop,
+        )
+        order = jnp.take(order, perm)
+        codes = jnp.take(codes, perm)
+        D = sah_hybrid_deltas(codes, rcodes, n, sah_levels)
+        first, last, split = _topology_from_deltas(D, n)
+    else:
+        first, last, split = _karras_topology(codes, n)
 
     r_child = split + 1
     # ---- bboxes: every node (internal or collapsed leaf) covers the
@@ -185,9 +212,30 @@ def _phase_a_topo(vertices, faces, n: int, max_leaf: int):
     sorted_lo = jnp.take(prim_lo, order, axis=0)
     sorted_hi = jnp.take(prim_hi, order, axis=0)
     range_query = _make_range_minmax(sorted_lo, sorted_hi, n)
-    lf_lo, lf_hi = range_query(first, split)
-    rf_lo, rf_hi = range_query(r_child, last)
-    node_lo, node_hi = range_query(first, last)
+
+    def chunked_query(a, b, chunk=1 << 20):
+        """range_query in lax.map chunks: one full-width query gathers
+        2 rows per small-tier level + 4 block-tier rows, so its live
+        intermediates are ~12x the (m, 6) result — ~7 GB at 10M tris
+        when XLA schedules all three node queries greedily (the r4
+        first-build RESOURCE_EXHAUSTED). Chunking caps them at
+        ~12 * chunk * 24 B ~ 300 MB."""
+        m = a.shape[0]
+        if m <= chunk:
+            return range_query(a, b)
+        C = -(-m // chunk)
+        pad = C * chunk - m
+        ap = jnp.pad(a, (0, pad))
+        bp = jnp.pad(b, (0, pad))
+        lo, hi = jax.lax.map(
+            lambda ab: range_query(ab[0], ab[1]),
+            (ap.reshape(C, chunk), bp.reshape(C, chunk)),
+        )
+        return lo.reshape(-1, 3)[:m], hi.reshape(-1, 3)[:m]
+
+    lf_lo, lf_hi = chunked_query(first, split)
+    rf_lo, rf_hi = chunked_query(r_child, last)
+    node_lo, node_hi = chunked_query(first, last)
     axis_i = jnp.argmax(node_hi - node_lo, axis=1).astype(i32)
     return (order, first, last, split, scene_lo,
             lf_lo, lf_hi, rf_lo, rf_hi, node_lo, node_hi, axis_i)
@@ -560,6 +608,9 @@ def collapse_lbvh_device(
     width: int = 16,
     max_leaf: int = 9,
     woop: bool = False,
+    sah_levels: int = 0,
+    sah_bins: int = 16,
+    sah_stop: int = 64,
 ) -> BVH8Scene:
     """One-call device-side scene build: triangles in, packet-kernel
     BVH tables out, everything on the accelerator (two scalar count
@@ -627,10 +678,26 @@ def collapse_lbvh_device(
             num_nodes=1, num_leaf_rows=1, depth=1, max_leaf=n,
             width=width, leafs_woop=leafs_woop)
 
-    topo = _phase_a_topo(vertices, faces, n=n, max_leaf=max_leaf)
+    import os as _os
+    _dbg = bool(_os.environ.get("NANORT_DEVBUILD_DEBUG"))
+
+    def _memstat(tag, *sync):
+        if _dbg:
+            jax.block_until_ready(sync)
+            st = jax.local_devices()[0].memory_stats() or {}
+            print(f"# devbuild {tag}: "
+                  f"in_use={st.get('bytes_in_use', 0)/1e9:.2f}GB "
+                  f"peak={st.get('peak_bytes_in_use', 0)/1e9:.2f}GB",
+                  flush=True)
+
+    topo = _phase_a_topo(vertices, faces, n=n, max_leaf=max_leaf,
+                         sah_levels=sah_levels, sah_bins=sah_bins,
+                         sah_stop=sah_stop)
+    _memstat("phase_a_topo", topo)
     (order, sp, s_meta, s_cnt, s_a, s_leaf, leaf_rank, sboxes,
      node_axis, nw, n_rows, wide_depth) = _phase_a_records(
         *topo, n=n, max_leaf=max_leaf, K=K)
+    _memstat("phase_a_records", sp)
     nw_i, nrows_i, depth_i = int(nw), int(n_rows), int(wide_depth)
     nw_pad = _next_pow2(nw_i + 1)  # +1: trailing pad node = park row
     nrows_pad = _next_pow2(max(nrows_i, 1))
@@ -639,6 +706,7 @@ def collapse_lbvh_device(
         leaf_rank, sboxes, node_axis,
         n=n, width=width, max_leaf=max_leaf,
         nw_pad=nw_pad, nrows_pad=nrows_pad, woop=woop)
+    _memstat("phase_b", nodes)
     return BVH8Scene(
         nodes=nodes, leafs=leafs, num_nodes=nw_i, num_leaf_rows=nrows_i,
         depth=depth_i, max_leaf=max_leaf, width=width,

@@ -157,11 +157,11 @@ def build_ao_aux(mesh, s8):
 
 def render_ao_fused(mesh, rays, key, s8, aux, n_samples: int = 8,
                     ao_radius: float = 1e30, sub: int = 8,
-                    attrs=None, interpret=None):
+                    stratified: bool = True, attrs=None, interpret=None):
     """One-kernel AO pass; returns the same (aovs, hits) contract as
     objrender.render_ao. ``s8`` is a width-16 BVH16Scene of ``mesh``;
     ``aux`` from build_ao_aux."""
-    from .objrender import _cosine_hemisphere, aovs_from_hits
+    from .objrender import ao_hemisphere_draws, aovs_from_hits
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -170,13 +170,12 @@ def render_ao_fused(mesh, rays, key, s8, aux, n_samples: int = 8,
     d = jnp.asarray(rays.dir, jnp.float32).reshape(-1, 3)
     R = org.shape[0]
 
-    # the exact draws render_ao makes (objrender.py: fold_in + vmap'd
-    # _cosine_hemisphere over the image shape)
+    # the exact draws render_ao makes (shared generator — incl. the
+    # azimuth stratification, so the two AO paths stay bit-identical)
     S = int(n_samples)
-    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(S))
-    d_local = jax.vmap(
-        lambda k: _cosine_hemisphere(k, bs if bs else (R,), jnp.float32)
-    )(keys).reshape(S, R, 3)
+    d_local = ao_hemisphere_draws(
+        key, S, bs if bs else (R,), jnp.float32, stratified
+    ).reshape(S, R, 3)
 
     blk = sub * LANES
     NB = -(-R // blk)

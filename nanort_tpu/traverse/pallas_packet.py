@@ -95,8 +95,11 @@ def _kernel_body(
     uniform_sign: bool = False,
     width: int = 8,
     fr_pop_n: int = 2,
+    refit: bool = False,
+    refit_exact: bool = False,
     nodes_hi_ref=None,
     leafs_hi_ref=None,
+    rleafs_ref=None,
     n_node_lo: int = 0,
     n_leaf_lo: int = 0,
 ):
@@ -118,6 +121,12 @@ def _kernel_body(
     if hbm_leafs:
         leaf_bufs, leaf_sems = out_refs[:2]
         del out_refs[:2]
+    if refit:
+        # drained-row replay queue (SMEM) + raw-leaf stream buffers:
+        # rq_ref[0] = count, entries (packed row<<4|cnt) from slot 1
+        rq_ref, rbuf, rsems = out_refs[:3]
+        del out_refs[:3]
+        rq_ref[0] = 0
     f32 = jnp.float32
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
@@ -412,6 +421,110 @@ def _kernel_body(
 
         return leaf_test
 
+    def refit_row(lrow, cnt, carry):
+        """Watertight re-evaluation of one RAW leaf row against the
+        packet, overwriting (t, u, v) for rays whose woop-selected
+        winner (matched by prim id) lives in this row — the in-kernel
+        counterpart of refit_hits_watertight (VERDICT r3 #1). The
+        per-tri shear math mirrors make_leaf_test's watertight path
+        (keep in sync); only the accept condition differs: prim-id
+        match + a successful watertight test (reject keeps the woop
+        record, same contract as the host refit)."""
+        t_b, u_b, v_b, p_b = carry
+        ro3 = os3 if shared_origin else (ox, oy, oz)
+        for ti in range(leaf_unroll):
+            p0 = (lrow[0, 9 * ti], lrow[0, 9 * ti + 1], lrow[0, 9 * ti + 2])
+            p1 = (lrow[0, 9 * ti + 3], lrow[0, 9 * ti + 4], lrow[0, 9 * ti + 5])
+            p2 = (lrow[0, 9 * ti + 6], lrow[0, 9 * ti + 7], lrow[0, 9 * ti + 8])
+            pid_t = lrow[0, 90 + ti].astype(jnp.int32)
+            a3 = (p0[0] - ro3[0], p0[1] - ro3[1], p0[2] - ro3[2])
+            b3 = (p1[0] - ro3[0], p1[1] - ro3[1], p1[2] - ro3[2])
+            c3 = (p2[0] - ro3[0], p2[1] - ro3[1], p2[2] - ro3[2])
+            if kz_static is None:
+                Az = comp(*a3, kz)
+                Bz = comp(*b3, kz)
+                Cz = comp(*c3, kz)
+                Ax = comp(*a3, kx) - sx * Az
+                Ay = comp(*a3, ky) - sy * Az
+                Bx = comp(*b3, kx) - sx * Bz
+                By = comp(*b3, ky) - sy * Bz
+                Cx = comp(*c3, kx) - sx * Cz
+                Cy = comp(*c3, ky) - sy * Cz
+            else:
+                Az, Bz, Cz = a3[KZ], b3[KZ], c3[KZ]
+                Ax = a3[KX] - sx * Az
+                Ay = a3[KY] - sy * Az
+                Bx = b3[KX] - sx * Bz
+                By = b3[KY] - sy * Bz
+                Cx = c3[KX] - sx * Cz
+                Cy = c3[KY] - sy * Cz
+            U = Cx * By - Cy * Bx
+            V = Ax * Cy - Ay * Cx
+            W = Bx * Ay - By * Ax
+            if refit_exact:
+                zmask = (U == 0.0) | (V == 0.0) | (W == 0.0)
+                U = jnp.where(zmask, prod_diff(Cx, By, Cy, Bx), U)
+                V = jnp.where(zmask, prod_diff(Ax, Cy, Ay, Cx), V)
+                W = jnp.where(zmask, prod_diff(Bx, Ay, By, Ax), W)
+            if cull_back_face:
+                edge_ok = jnp.minimum(jnp.minimum(U, V), W) >= 0.0
+            else:
+                edge_ok = (jnp.minimum(jnp.minimum(U, V), W) >= 0.0) | (
+                    jnp.maximum(jnp.maximum(U, V), W) <= 0.0
+                )
+            det = U + V + W
+            rcp = 1.0 / det
+            tt = (U * (sz * Az) + V * (sz * Bz) + W * (sz * Cz)) * rcp
+            valid = (pid_t == p_b) & edge_ok & (ti < cnt)
+            valid = valid & (tt <= max_t) & (tt >= min_t)
+            t_b = jnp.where(valid, tt, t_b)
+            u_b = jnp.where(valid, V * rcp, u_b)
+            v_b = jnp.where(valid, W * rcp, v_b)
+        return t_b, u_b, v_b, p_b
+
+    def run_refit(carry):
+        """Replay every drained leaf row (recorded in rq_ref during the
+        traversal) through the watertight evaluator, streaming raw rows
+        from the HBM-resident table in waves of RF_NW pipelined fetches
+        (a per-row semaphore array sized to the whole queue crashes the
+        Mosaic compiler; a typical packet drains ~11-17 rows, so most
+        packets are a single wave)."""
+        nq = jnp.minimum(rq_ref[0], RQ_CAP)
+
+        def _dma(i, slot):
+            return pltpu.make_async_copy(
+                rleafs_ref.at[pl.ds(rq_ref[1 + i] >> 4, 1)],
+                rbuf.at[pl.ds(slot, 1)],
+                rsems.at[slot],
+            )
+
+        def wave(base, carry):
+            cnt = jnp.minimum(nq - base, RF_NW)
+
+            def _start(k, x):
+                _dma(base + k, k).start()
+                return x
+
+            jax.lax.fori_loop(0, cnt, _start, 0)
+
+            def body(k, carry):
+                i = base + k
+                _dma(i, k).wait()
+                packed = rq_ref[1 + i]
+                return refit_row(rbuf[pl.ds(k, 1), :], packed & 15, carry)
+
+            return jax.lax.fori_loop(0, cnt, body, carry)
+
+        def outer(state):
+            base = state[0]
+            carry = wave(base, state[1:])
+            return (base + RF_NW,) + tuple(carry)
+
+        fin = jax.lax.while_loop(
+            lambda st: st[0] < nq, outer, (jnp.int32(0),) + tuple(carry)
+        )
+        return fin[1:]
+
     MM = f32(1.00000024)
 
     # ------------------------------------------------------------------
@@ -425,6 +538,9 @@ def _kernel_body(
     # t/u/v/pid accumulators carried in vector registers.
     # ------------------------------------------------------------------
     LQ_CAP = lq_cap
+    RQ_CAP = 1023  # refit replay queue slots (index clamp keeps an
+    # overflowing packet fault-free; slot RQ_CAP is sacrificial)
+    RF_NW = 48  # refit stream wave: in-flight DMA slots per replay wave
 
     if debug_counts:
         leafq_ref[60] = 0  # node pops (slack SMEM slots as counters,
@@ -775,6 +891,10 @@ def _kernel_body(
             if debug_counts:
                 leafq_ref[61] = leafq_ref[61] + 1
             packed = leafq_ref[q]
+            if refit:
+                cq = rq_ref[0]
+                rq_ref[jnp.minimum(cq + 1, RQ_CAP)] = packed
+                rq_ref[0] = cq + 1
             if hbm_leafs:
                 _leaf_dma(q).wait()
                 lrow = leaf_bufs[pl.ds(q, 1), :]
@@ -910,6 +1030,8 @@ def _kernel_body(
         return
 
     fin = run_pass(exact=exact_edge_fallback, collect=flag_zero_edges)
+    if refit:
+        fin = run_refit(fin[:4])
     t_b, u_b, v_b, p_b = fin[:4]
     if flag_zero_edges:
         z_out[:] = fin[4]
@@ -954,6 +1076,8 @@ def _make_kernel(
     leaf_split: int = 0,
     width: int = 8,
     fr_pop_n: int = 2,
+    refit: bool = False,
+    refit_exact: bool = False,
     interpret: bool = False,
 ):
     inner = functools.partial(
@@ -981,11 +1105,13 @@ def _make_kernel(
         uniform_sign=uniform_sign,
         width=width,
         fr_pop_n=fr_pop_n,
+        refit=refit,
+        refit_exact=refit_exact,
         n_node_lo=node_split,
         n_leaf_lo=leaf_split,
     )
-    if node_split or leaf_split:
-        # input order with splits: nodes_lo [nodes_hi] leafs_lo [leafs_hi]
+    if node_split or leaf_split or refit:
+        # input order: nodes_lo [nodes_hi] leafs_lo [leafs_hi] [rleafs]
         def body(*args):
             i = 1
             nodes_hi = args[i] if node_split else None
@@ -994,8 +1120,11 @@ def _make_kernel(
             i += 1
             leafs_hi = args[i] if leaf_split else None
             i += 1 if leaf_split else 0
+            rleafs = args[i] if refit else None
+            i += 1 if refit else 0
             inner(args[0], leafs, *args[i:],
-                  nodes_hi_ref=nodes_hi, leafs_hi_ref=leafs_hi)
+                  nodes_hi_ref=nodes_hi, leafs_hi_ref=leafs_hi,
+                  rleafs_ref=rleafs)
     else:
         body = inner
     ray_spec = pl.BlockSpec((None, sub, LANES), lambda i: (i, 0, 0))
@@ -1020,6 +1149,12 @@ def _make_kernel(
             pltpu.VMEM((nq, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((nq,)),
         ]
+    if refit:
+        scratch += [
+            pltpu.SMEM((1024,), jnp.int32),  # replay queue (RQ_CAP+1)
+            pltpu.VMEM((48, LANES), jnp.float32),  # RF_NW stream slots
+            pltpu.SemaphoreType.DMA((48,)),
+        ]
     # per-packet scalar row (frustum bounds + root) rides in a 128-lane
     # SMEM block; the (1, 128) trailing block shape matches the array's
     # trailing dims exactly, which is the only legal sub-8-sublane form
@@ -1031,6 +1166,8 @@ def _make_kernel(
     table_specs.append(hbm if hbm_leafs else vmem)
     if leaf_split:
         table_specs.append(vmem)
+    if refit:
+        table_specs.append(hbm)  # raw leaf rows stream per replay
     grid_call = pl.pallas_call(
         body,
         grid=(n_packets,),
@@ -1163,6 +1300,7 @@ def traverse_bvh8(
     t_sync_every: int = 2,
     lq_cap: int = 1,
     intersector: str = "watertight",
+    refit_inkernel: bool = False,
     packet_roots=None,
     specialize: tuple | None = None,
     node_split: bool = False,
@@ -1223,6 +1361,19 @@ def traverse_bvh8(
             raise ValueError("woop rows hold <= 9 triangles; rebuild "
                              "with max_leaf_primitives<=9")
         exact_edge = False
+    # refit_inkernel: woop traversal + end-of-kernel watertight replay of
+    # every drained raw leaf row, overwriting (t, u, v) for each ray's
+    # prim-id-matched winner (the in-kernel form of refit_hits_watertight,
+    # VERDICT r3 #1). Records become watertight-exact for the woop-chosen
+    # prim; prim SELECTION can still differ from the watertight engine on
+    # edge-crossing rays. Closest-hit only.
+    refit_exact = False
+    if refit_inkernel:
+        if intersector != "woop":
+            raise ValueError("refit_inkernel pairs with intersector='woop'")
+        if occlusion or debug_counts or _flag_zero_edges:
+            raise ValueError("refit_inkernel is closest-hit only")
+        refit_exact = options.exact_edge_fallback
     # specialize: (kz_static, shared_origin[, uniform_sign]) whole-batch
     # specialization
     # (see detect_specialization). kz_static collapses the watertight
@@ -1417,6 +1568,8 @@ def traverse_bvh8(
         tables += [leafs_arr[:n_leaf_lo], leafs_arr[n_leaf_lo:]]
     else:
         tables += [leafs_arr]
+    if refit_inkernel:
+        tables += [jnp.asarray(scene.leafs)]  # raw verts, HBM-streamed
     kern = _make_kernel(
         n_packets,
         sub,
@@ -1452,6 +1605,8 @@ def traverse_bvh8(
         n_leaf_lo,
         width,
         frustum_pop_n,
+        refit_inkernel,
+        refit_exact,
         # NOTE: interpret=True nominally lets CPU cover this kernel, but
         # the Pallas interpreter is impractically slow on it (a 256-ray
         # toy config exceeds 9 min); TPU verification stays with

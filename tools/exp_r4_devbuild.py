@@ -54,33 +54,42 @@ def main():
         float(np.asarray(s.nodes[0, 0]))  # force completion
         return s, time.perf_counter() - t0
 
+    import gc
+
     sA, tA = build()
     emit("build_cold_s", round(tA, 1))
     emit("nodes", int(sA.num_nodes))
     emit("leaf_rows", int(sA.num_leaf_rows))
 
-    # traverse sanity on the cold-built scene
-    res = 4096
-    cam = look_at(eye=(0, 0, 2.2), center=(0, 0, 0),
-                  width=res, height=res, fov=60.0)
-    rays_t, _ = tile_image_rays(pinhole_rays(cam), 128, 32)
-    spec = detect_specialization(rays_t, sub=16)
-    h = traverse_bvh8(sA, rays_t, specialize=spec, sub=16)
-    emit("hit_frac", round(float((np.asarray(h.prim_id)
-                                  != 0xFFFFFFFF).mean()), 3))
-
-    # free A, rebuild (warm: same bucket -> cached compiles)
-    del sA, h
-    sB, tB = build()
-    emit("build_warm_s", round(tB, 1))
+    # free A COMPLETELY, rebuild (warm: same bucket -> cached compiles).
+    # gc + a device barrier so A's tables are actually RELEASED before
+    # B's transients allocate (the 10M peak leaves no headroom for both)
+    del sA
+    gc.collect()
+    jax.block_until_ready(jnp.zeros(()) + 0)
+    try:
+        sB, tB = build()
+        emit("build_warm_s", round(tB, 1))
+    except Exception as e:  # noqa: BLE001
+        emit("build_warm_err", f"{type(e).__name__}: {e}"[:200])
+        return
 
     # rebuild while B's tables stay ALIVE (interactive rebuild shape)
     try:
         sC, tC = build()
         emit("build_warm_tables_alive_s", round(tC, 1))
         del sC
+        gc.collect()
     except Exception as e:  # noqa: BLE001
         emit("build_tables_alive_err", f"{type(e).__name__}: {e}"[:200])
+
+    # traverse sanity LAST (the ray megabatch would otherwise occupy
+    # ~0.5 GB across the rebuilds)
+    res = 4096
+    cam = look_at(eye=(0, 0, 2.2), center=(0, 0, 0),
+                  width=res, height=res, fov=60.0)
+    rays_t, _ = tile_image_rays(pinhole_rays(cam), 128, 32)
+    spec = detect_specialization(rays_t, sub=16)
     h = traverse_bvh8(sB, rays_t, specialize=spec, sub=16)
     emit("hit_frac_B", round(float((np.asarray(h.prim_id)
                                     != 0xFFFFFFFF).mean()), 3))

@@ -63,7 +63,9 @@ def main():
         def body(i, acc):
             # data-dependent next index (defeats prefetch speculation,
             # like a real traversal's stack pop)
-            j = (acc.astype(jnp.int32) + i * 2654435761) % n_rows
+            # Knuth multiplier as its int32 two's-complement (x64 test
+            # mode parses bare >int32 literals as int64)
+            j = (acc.astype(jnp.int32) + i * jnp.int32(-1640531527)) % n_rows
             row = tab_ref[pl.ds(j, 1), :]
             return acc + row[0, 0]
 
