@@ -151,6 +151,15 @@ def main():
                                   intersector="woop", specialize=spec)
                 # scalar readback forces completion through the tunnel
                 return float(h.t.min()), h
+        elif engine == "turbo_refit_inkernel":
+            # measured NEGATIVE (r4, exp_r4_refit2.out): the in-kernel
+            # drained-row replay restores bit-exact watertight t/u/v for
+            # the woop winner but costs 87-103 Mrays/s vs 142.7
+            # watertight — kept selectable for auditability
+            def run():
+                h = traverse_bvh8(s8, rays_t, sub=sub, intersector="woop",
+                                  specialize=spec, refit_inkernel=True)
+                return float(h.t.min()), h
         elif engine == "turbo_refit":
             refit = jax.jit(
                 lambda r, h: refit_hits_watertight(mesh, r, h)

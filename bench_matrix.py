@@ -136,12 +136,12 @@ def main():
         spec_a = detect_specialization(rays)
 
         def run_a():
-            # octant-major + sub=8 occlusion packets: measured 234 ->
-            # 202 ms with bit-identical AO (tools/logs/exp_r3_ao.out)
+            # r4 recipe: azimuth-stratified draws + 32x32-tiled
+            # sample-major occlusion packets, traced direct (no sort):
+            # end-to-end 201 -> 83 ms (tools/logs/exp_r4_aoship.out)
             aovs, hits = render_ao(bvh, mesh, rays, key,
                                    n_samples=n_samples, max_leaf=8,
-                                   scene8=s8, specialize=spec_a,
-                                   octant_major=True, sub=8)
+                                   scene8=s8, specialize=spec_a, sub=8)
             return readback(aovs["ao"].min()), hits
 
         t0 = time.perf_counter()

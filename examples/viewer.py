@@ -54,7 +54,10 @@ def build_scene():
 def make_render_pass(bvh, mesh, s8, state, cam_type="perspective"):
     def render_pass(p, key):
         az = state["azimuth"]
-        eye = (2.4 * np.sin(az), 0.0, 2.4 * np.cos(az))
+        el = state.get("elevation", 0.0)
+        ce = np.cos(el)
+        eye = (2.4 * ce * np.sin(az), 2.4 * np.sin(el),
+               2.4 * ce * np.cos(az))
         cam = look_at(eye=eye, center=(0, 0, 0), width=SIZE, height=SIZE,
                       fov=60)
         rays = generate_rays(cam, cam_type)
@@ -125,19 +128,36 @@ def run_terminal(seconds, cam_type):
 PAGE = b"""<!doctype html><title>nanort_tpu viewer</title>
 <body style="background:#111;color:#eee;font-family:monospace">
 <h3>nanort_tpu progressive viewer</h3>
-<img id=f width=512 height=512 style="image-rendering:pixelated">
+<img id=f width=512 height=512 draggable=false
+     style="image-rendering:pixelated;cursor:grab;touch-action:none">
 <div id=s></div>
 <button onclick="fetch('/orbit',{method:'POST'})">Orbit</button>
 <button onclick="fetch('/restart',{method:'POST'})">Restart</button>
 <button onclick="fetch('/quit',{method:'POST'})">Quit</button>
+<div>drag the image to orbit (trackball: accumulation restarts live)</div>
 <script>
 async function tick(){
   document.getElementById('f').src='/frame.png?'+Date.now();
   const st=await (await fetch('/status')).json();
   document.getElementById('s').textContent=
-    'pass '+st.passes+'/'+st.max+'  azimuth '+st.azimuth.toFixed(2);
+    'pass '+st.passes+'/'+st.max+'  azimuth '+st.azimuth.toFixed(2)+
+    '  elevation '+st.elevation.toFixed(2);
 }
 setInterval(tick, 500); tick();
+// drag-to-orbit gizmo: pointer deltas post to /drag, throttled; the
+// render thread restarts accumulation per the cancel contract
+const img=document.getElementById('f');
+let down=false,lx=0,ly=0,ax=0,ay=0,timer=null;
+img.addEventListener('pointerdown',e=>{down=true;lx=e.clientX;ly=e.clientY;
+  img.setPointerCapture(e.pointerId);});
+img.addEventListener('pointerup',()=>{down=false;});
+img.addEventListener('pointermove',e=>{
+  if(!down)return;
+  ax+=e.clientX-lx; ay+=e.clientY-ly; lx=e.clientX; ly=e.clientY;
+  if(!timer)timer=setTimeout(()=>{
+    fetch('/drag',{method:'POST',body:JSON.stringify({dx:ax,dy:ay})});
+    ax=0;ay=0;timer=null;},100);
+});
 </script>"""
 
 
@@ -146,7 +166,7 @@ def run_http(port, seconds):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     bvh, mesh, s8 = build_scene()
-    state = {"azimuth": 0.0}
+    state = {"azimuth": 0.0, "elevation": 0.0}
     r = ProgressiveRenderer(
         make_render_pass(bvh, mesh, s8, state), max_passes=128
     ).start()
@@ -174,13 +194,25 @@ def run_http(port, seconds):
                 body = json.dumps({
                     "passes": r.passes_done, "max": r.max_passes,
                     "azimuth": state["azimuth"],
+                    "elevation": state.get("elevation", 0.0),
                 }).encode()
                 self._send(200, "application/json", body)
             else:
                 self._send(200, "text/html", PAGE)
 
         def do_POST(self):
-            if self.path == "/orbit":
+            if self.path == "/drag":
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    d = json.loads(self.rfile.read(n) or b"{}")
+                    state["azimuth"] += 0.01 * float(d.get("dx", 0))
+                    state["elevation"] = float(np.clip(
+                        state.get("elevation", 0.0)
+                        + 0.01 * float(d.get("dy", 0)), -1.4, 1.4))
+                    r.request_render()
+                except (ValueError, TypeError):
+                    pass
+            elif self.path == "/orbit":
                 state["azimuth"] += 0.3
                 r.request_render()
             elif self.path == "/restart":

@@ -358,14 +358,19 @@ def _phase_a_records(order, first, last, split, scene_lo,
     # the whole sorting network (~2x the records' bytes per stage)
     idx1 = jnp.argsort(rk, stable=True)
     perm = jnp.take(idx1, jnp.argsort(jnp.take(rp, idx1), stable=True))
-    # all 12 payload columns ride ONE packed row gather (core/rowpack)
+    # payload columns ride packed row gathers (core/rowpack) — in TWO
+    # groups, not one: a single (3n, 11) pack + its gather output peak
+    # at ~2.6 GB live at 10M tris, and the 10M build's HBM headroom is
+    # externally variable (RESOURCE_EXHAUSTED class, exp_r4_devbuild*);
+    # two ~half-size groups trade one extra gather for half the peak
     from ..core.rowpack import permute_rows
 
     srec = permute_rows(
         dict(par=rp, meta=cat("meta"), cnt=cat("cnt"), a=cat("a"),
-             leaf=cat("leaf"), lo=cat("lo"), hi=cat("hi")),
+             leaf=cat("leaf")),
         perm,
     )
+    srec.update(permute_rows(dict(lo=cat("lo"), hi=cat("hi")), perm))
     sp, s_meta, s_cnt = srec["par"], srec["meta"], srec["cnt"]
     s_a, s_leaf = srec["a"], srec["leaf"]
     slo0, slo1, slo2 = (srec["lo"][:, k] for k in range(3))

@@ -466,6 +466,7 @@ def render_path_traced(
     tile: int = 8192,
     spp_batch: int | None = None,
     fused: bool | None = None,
+    azimuth_strata: int | None = None,
 ):
     """Accumulate spp samples per camera ray; returns linear RGB with the
     camera-ray batch shape + (3,). (The reference's SPP loop,
@@ -483,7 +484,19 @@ def render_path_traced(
     Default: auto — on for brute-force-class scenes when running on TPU
     (where it is kernel-class faster), off elsewhere. The fused kernel
     uses its own counter-based RNG stream, so images agree with the
-    megabatch path statistically, not sample-for-sample."""
+    megabatch path statistically, not sample-for-sample.
+
+    ``azimuth_strata`` (fused paths only): each (sample, bounce) draws
+    its diffuse azimuth inside one shared 1/N wedge that cycles with
+    the sample index — per-pixel marginals stay uniform (stratified,
+    unbiased; cross-pixel noise becomes correlated), and fused-kernel
+    bounce blocks gain direction coherence (config B 2.23 -> 1.92 s,
+    exp_r4_ptb2). N must DIVIDE spp or the wedge coverage is uneven
+    (a small azimuth bias); the default picks the largest divisor of
+    spp in {8, 5, 4, 3, 2, 1}. Pass 1 to disable."""
+    if azimuth_strata is None:
+        azimuth_strata = next(
+            n for n in (8, 5, 4, 3, 2, 1) if spp % n == 0)
     bs = cam_rays.batch_shape
     org = cam_rays.org.reshape(-1, 3)
     d = cam_rays.dir.reshape(-1, 3)
@@ -500,7 +513,8 @@ def render_path_traced(
 
         if fused_eligible(scene):
             img = render_fused(scene, org, d, key, spp,
-                               max_bounces=max_bounces)
+                               max_bounces=max_bounces,
+                               azimuth_strata=azimuth_strata)
         else:
             # BVH-traced fused kernel: blocks share one traversal stack,
             # so image-order rays (1024-pixel-wide strips per block) pay
@@ -517,7 +531,8 @@ def render_path_traced(
                 perm = jnp.asarray(idx)
                 org, d = org[perm], d[perm]
             img = render_fused_bvh(scene, org, d, key, spp,
-                                   max_bounces=max_bounces, sub=sub_b)
+                                   max_bounces=max_bounces, sub=sub_b,
+                                   azimuth_strata=azimuth_strata)
             if perm is not None:
                 img = jnp.zeros_like(img).at[perm].set(img)
         return img.reshape(*bs, 3)

@@ -137,7 +137,8 @@ def _onb(nx, ny, nz):
 def _bounce_step(ray_id, base, st, t, hu, hv, hitf, alive,
                  nx0, ny0, nz0, kdx, kdy, kdz, kex, key_, kez,
                  ksx, ksy, ksz, ktx, kty, ktz, ior, dissolve,
-                 L, light_ref, trig, shadow_trace, zeros):
+                 L, light_ref, trig, shadow_trace, zeros,
+                 az_wedge=None, az_strata=1):
     """Shading + NEE + emission + next-direction for one bounce, given
     the closest-hit record and the hit lane's material values. Factored
     so the brute-force and BVH-traced fused kernels share every op
@@ -253,7 +254,17 @@ def _bounce_step(ray_id, base, st, t, hu, hv, hitf, alive,
     sz = dz - 2.0 * ddn * nz
 
     u1 = _uniform(ray_id, base + 4)
-    cphi, sphi = _sincos_2pi(_uniform(ray_id, base + 5), trig)
+    u2 = _uniform(ray_id, base + 5)
+    if az_wedge is not None:
+        # block-shared azimuth wedge: every lane of this (sample, bounce)
+        # draws phi inside the same 1/az_strata wedge (az_wedge is a
+        # scalar that cycles over wedges with the sample index, so each
+        # PIXEL's azimuth marginal stays uniform — stratified, unbiased).
+        # The point is traversal coherence: diffuse bounce packets share
+        # a direction cone instead of the full hemisphere, shrinking the
+        # shared-stack union the fused tracer visits.
+        u2 = (az_wedge.astype(jnp.float32) + u2) / f32(az_strata)
+    cphi, sphi = _sincos_2pi(u2, trig)
     rr_ = jnp.sqrt(u1)
     cdx_ = rr_ * cphi
     cdy_ = rr_ * sphi
@@ -300,7 +311,7 @@ def _bounce_step(ray_id, base, st, t, hu, hv, hitf, alive,
             alive_out.astype(jnp.int32), do_em_i)
 
 
-def _pt_kernel(F, C, L, rr_start, trig,
+def _pt_kernel(F, C, L, rr_start, trig, az_strata,
                meta_ref, tri_ref, face_ref, light_ref, rays_ref, out_ref):
     f32 = jnp.float32
     kfar = f32(1.0e30)
@@ -426,11 +437,14 @@ def _pt_kernel(F, C, L, rr_start, trig,
 
         st2 = (px, py, pz, dx, dy, dz, cr, cg, cb, wr, wg, wb,
                alive_i, do_em_i)
+        # stride-1 wedge cycle in s (coprime with ANY strata count;
+        # a constant stride like 5 degenerates when it shares a factor)
+        wedge = (s + b * 3) % az_strata if az_strata > 1 else None
         return _bounce_step(
             ray_id, base, st2, t, hu, hv, hitf, alive,
             nx, ny, nz, kdx, kdy, kdz, kex, key_, kez, ksx, ksy, ksz,
             ktx, kty, ktz, ior, dissolve, L, light_ref, trig,
-            shadow_trace, zeros)
+            shadow_trace, zeros, az_wedge=wedge, az_strata=az_strata)
 
     def sample(s, acc):
         ar, ag, ab = acc
@@ -451,16 +465,17 @@ def _pt_kernel(F, C, L, rr_start, trig,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_lights", "rr_start", "trig", "interpret"))
+    "n_lights", "rr_start", "trig", "az_strata", "interpret"))
 def _render_fused_impl(tri, face, light, rays6, seed, n_lights, spp,
-                       max_bounces, rr_start, trig, interpret):
+                       max_bounces, rr_start, trig, az_strata, interpret):
     # seed/spp/max_bounces are TRACED (they ride the kernel's SMEM meta
     # row): every (seed, spp, bounces) setting shares one compiled kernel
     F, _ = tri.shape
     C = face.shape[1]
     L = n_lights
     NB = rays6.shape[1]
-    kern = functools.partial(_pt_kernel, F, C, L, rr_start, trig)
+    kern = functools.partial(_pt_kernel, F, C, L, rr_start, trig,
+                             az_strata)
     meta = jnp.stack([jnp.asarray(seed, jnp.int32),
                       jnp.asarray(spp, jnp.int32),
                       jnp.asarray(max_bounces, jnp.int32)])
@@ -496,7 +511,7 @@ PT_FUSED_BVH_MAX_TRIS = 400_000
 _BVH_SUB = 16  # block sublanes: the traversal granule (one shared stack)
 
 
-def _pt_kernel_bvh(M, L, rr_start, trig, max_leaf, sub,
+def _pt_kernel_bvh(M, L, rr_start, trig, max_leaf, sub, az_strata,
                    meta_ref, mat_ref, light_ref, nodes_ref, leafs_ref,
                    aux_ref, rays_ref, out_ref, stack_ref, leafq_ref):
     from ..traverse.fused_trace import make_tracer
@@ -572,11 +587,15 @@ def _pt_kernel_bvh(M, L, rr_start, trig, max_leaf, sub,
 
         st2 = (px, py, pz, dx, dy, dz, cr, cg, cb, wr, wg, wb,
                alive_i, do_em_i)
+        # stride-1 wedge cycle in s (coprime with ANY strata count;
+        # a constant stride like 5 degenerates when it shares a factor)
+        wedge = (s + b * 3) % az_strata if az_strata > 1 else None
         return _bounce_step(
             ray_id, base, st2, t, hu, hv, hitf, alive,
             gnx, gny, gnz, kdx, kdy, kdz, kex, key_, kez,
             ksx, ksy, ksz, ktx, kty, ktz, ior, dissolve,
-            L, light_ref, trig, shadow_trace, zeros)
+            L, light_ref, trig, shadow_trace, zeros,
+            az_wedge=wedge, az_strata=az_strata)
 
     def sample(s, acc):
         ar, ag, ab = acc
@@ -598,15 +617,16 @@ def _pt_kernel_bvh(M, L, rr_start, trig, max_leaf, sub,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_mats", "n_lights", "rr_start", "trig", "max_leaf", "depth", "sub",
-    "interpret"))
+    "az_strata", "interpret"))
 def _render_fused_bvh_impl(mat, light, nodes, leafs, aux, rays6, seed,
                            n_mats, n_lights, spp, max_bounces, rr_start,
-                           trig, max_leaf, depth, sub, interpret):
+                           trig, max_leaf, depth, sub, az_strata,
+                           interpret):
     from ..traverse.fused_trace import fused_scratch_shapes
 
     NB = rays6.shape[1]
     kern = functools.partial(_pt_kernel_bvh, n_mats, n_lights, rr_start,
-                             trig, max_leaf, sub)
+                             trig, max_leaf, sub, az_strata)
     meta = jnp.stack([jnp.asarray(seed, jnp.int32),
                       jnp.asarray(spp, jnp.int32),
                       jnp.asarray(max_bounces, jnp.int32)])
@@ -669,7 +689,7 @@ def fused_bvh_eligible(scene) -> bool:
 
 def render_fused_bvh(scene, org, dirs, key, spp, max_bounces=8,
                      rr_start=3, trig="native", sub=_BVH_SUB,
-                     interpret=None):
+                     azimuth_strata=1, interpret=None):
     """BVH-traced fused render: radiance means (R, 3), like
     ``render_fused`` but traversing scene.scene8 in-kernel instead of
     brute-forcing the triangle list."""
@@ -699,7 +719,7 @@ def render_fused_bvh(scene, org, dirs, key, spp, max_bounces=8,
         mat, light, nodes, leafs, aux, rays6, seed, n_mats, n_lights,
         int(spp), int(max_bounces), int(rr_start), trig,
         int(scene.scene8.max_leaf), int(scene.scene8.depth), int(sub),
-        bool(interpret))
+        int(azimuth_strata), bool(interpret))
     color = out.reshape(3, NB * blk)[:, :R].T
     return color / jnp.float32(spp)
 
@@ -736,7 +756,7 @@ def _seed_from_key(key) -> int:
 
 
 def render_fused(scene, org, dirs, key, spp, max_bounces=8, rr_start=3,
-                 trig="native", interpret=None):
+                 trig="native", azimuth_strata=1, interpret=None):
     """Radiance means (R, 3) for `spp` samples per input ray.
 
     `key` may be a PRNGKey (folded to an int32 seed) or a plain int.
@@ -766,6 +786,6 @@ def render_fused(scene, org, dirs, key, spp, max_bounces=8, rr_start=3,
     rays6 = rays6.reshape(6, NB, _BLK_SUB, _BLK_LANE)
     out = _render_fused_impl(tri, face, light, rays6, seed, n_lights,
                              int(spp), int(max_bounces), int(rr_start),
-                             trig, bool(interpret))
+                             trig, int(azimuth_strata), bool(interpret))
     color = out.reshape(3, NB * _BLK)[:, :R].T
     return color / jnp.float32(spp)
