@@ -1046,6 +1046,562 @@ def _kernel_body(
     pid_out[:] = p_b
 
 
+def _kernel_body_il(
+    nodes_ref,
+    leafs_ref,
+    ox_ref, oy_ref, oz_ref,
+    dx_ref, dy_ref, dz_ref,
+    mint_ref, maxt_ref,
+    skip_ref,
+    pkt_ref,
+    t_out, u_out, v_out, pid_out,
+    stack_ref, leafq_ref,
+    *,
+    K: int,
+    cull_back_face: bool,
+    exact_edge_fallback: bool,
+    use_skip: bool,
+    stack_size: int,
+    leaf_unroll: int,
+    pop_n: int,
+    occlusion: bool,
+    prim_range: tuple | None,
+    inkernel_exact: bool,
+    lq_cap: int,
+    intersector: str,
+    kz_static: int | None,
+    shared_origin: bool,
+    uniform_sign: bool,
+    width: int,
+):
+    """K-way interleaved packet traversal.
+
+    One kernel instance owns K packets (ray blocks arrive as
+    (K, sub, LANES)) and runs their traversals in LOCK-STEP: each
+    node-phase iteration pops one node per still-active packet, slab
+    tests each against its own rays, and reads the packets' visit masks
+    back-to-back — so the ~0.8 us vector->scalar pipeline drain that
+    dominates the node phase (see node_step) is paid ~once per K node
+    steps instead of once each. Leaf drains interleave the same way:
+    packet B's scalar row fetch issues while packet A's triangle tests
+    occupy the VPU.
+
+    Each packet's own pop/drain SEQUENCE is identical to the K=1 kernel
+    (a packet whose queue is full or whose stack is empty idles on the
+    all-miss park node, and idle pushes land one-past-top where the
+    unconditional-write scheme already discards them), so records are
+    bit-identical to the non-interleaved kernel. Measured basis:
+    tools/experiments/profile_interleave.py (926 ns per dual node step
+    vs 810 single on v5e; the microbench's apparent iteration blowup was
+    a restart-from-root artifact of its unguarded idle pops — fixed here
+    by gating pops on packet activity).
+
+    Supports the benchmark-class configs (VMEM scene, watertight/woop,
+    packed16 or BVH8 rows, batch specializations, occlusion, in-kernel
+    two-pass exact edges). Frustum/HBM-streaming/refit/split-table modes
+    stay on the K=1 body.
+    """
+    f32 = jnp.float32
+    eps = f32(np.finfo(np.float32).eps)
+    inf = f32(np.inf)
+    BIG = f32(3.0e38)
+    MM = f32(1.00000024)
+    C = f32(4097.0)
+    LQ_CAP = lq_cap
+    packed16 = width == 16
+    NR = 1 if packed16 else width // 8
+    dummy_idx = nodes_ref.shape[0] // NR - 1
+    SBASE = [s * stack_size for s in range(K)]
+    QBASE = [s * 64 for s in range(K)]
+
+    def comp(vx, vy, vz, k):
+        return jnp.where(k == 0, vx, jnp.where(k == 1, vy, vz))
+
+    def safe_inv2(d):
+        tiny = jnp.abs(d) < eps
+        neg = jax.lax.bitcast_convert_type(d, jnp.int32) < 0
+        return jnp.where(
+            tiny, jnp.where(neg, -inf, inf), 1.0 / jnp.where(tiny, 1.0, d)
+        )
+
+    def two_prod(a, b):
+        p = a * b
+        a1 = a * C
+        ah = a1 - (a1 - a)
+        al = a - ah
+        b1 = b * C
+        bh = b1 - (b1 - b)
+        bl = b - bh
+        err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+        return p, err
+
+    def prod_diff(a, b, c, d):
+        p1, e1 = two_prod(a, b)
+        p2, e2 = two_prod(c, d)
+        return (p1 - p2) + (e1 - e2)
+
+    def setup(s):
+        """Per-packet ray constants — the same sanitize/inverse/shear
+        pipeline as the K=1 body (see _kernel_body lines ~130-250),
+        evaluated on this packet's (sub, LANES) slice."""
+        S = {}
+        ox, oy, oz = ox_ref[s, :, :], oy_ref[s, :, :], oz_ref[s, :, :]
+        dx, dy, dz = dx_ref[s, :, :], dy_ref[s, :, :], dz_ref[s, :, :]
+        min_t = mint_ref[s, :, :]
+        max_t = maxt_ref[s, :, :]
+        okr = (
+            (jnp.abs(ox) < BIG) & (jnp.abs(oy) < BIG) & (jnp.abs(oz) < BIG)
+            & (jnp.abs(dx) < BIG) & (jnp.abs(dy) < BIG)
+            & (jnp.abs(dz) < BIG)
+            & (jnp.abs(dx) + jnp.abs(dy) + jnp.abs(dz) > 0)
+        )
+        ox = jnp.where(okr, ox, 0.0)
+        oy = jnp.where(okr, oy, 0.0)
+        oz = jnp.where(okr, oz, 0.0)
+        dx = jnp.where(okr, dx, 1.0)
+        dy = jnp.where(okr, dy, 0.0)
+        dz = jnp.where(okr, dz, 0.0)
+        min_t = jnp.where(okr, min_t, inf)
+        max_t = jnp.where(okr, max_t, inf)
+        S.update(ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+                 min_t=min_t, max_t=max_t)
+        S.update(ix=safe_inv2(dx), iy=safe_inv2(dy), iz=safe_inv2(dz))
+        if uniform_sign:
+            S.update(snx=pkt_ref[s, 0, 23] > 0.5,
+                     sny=pkt_ref[s, 0, 24] > 0.5,
+                     snz=pkt_ref[s, 0, 25] > 0.5)
+        else:
+            S.update(snx=dx < 0, sny=dy < 0, snz=dz < 0)
+        if intersector != "woop":
+            if kz_static is None:
+                adx, ady, adz = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+                kz = jnp.where(ady > adx, 1, 0)
+                amax = jnp.where(ady > adx, ady, adx)
+                kz = jnp.where(adz > amax, 2, kz).astype(jnp.int32)
+                kx = (kz + 1) % 3
+                ky = (kx + 1) % 3
+                dkz = comp(dx, dy, dz, kz)
+                negkz = dkz < 0
+                kx, ky = (jnp.where(negkz, ky, kx),
+                          jnp.where(negkz, kx, ky))
+                S.update(kz=kz, kx=kx, ky=ky)
+                S.update(sx=comp(dx, dy, dz, kx) / dkz,
+                         sy=comp(dx, dy, dz, ky) / dkz,
+                         sz=1.0 / dkz)
+            else:
+                KZ = kz_static
+                KX = (KZ + 1) % 3
+                KY = (KZ + 2) % 3
+                d3 = (dx, dy, dz)
+                dkz = d3[KZ]
+                S.update(sx=d3[KX] / dkz, sy=d3[KY] / dkz, sz=1.0 / dkz)
+        if shared_origin:
+            S["os3"] = (pkt_ref[s, 0, 20], pkt_ref[s, 0, 21],
+                        pkt_ref[s, 0, 22])
+        if use_skip:
+            S["skip_pid"] = skip_ref[s, :, :]
+        S["neg_ax"] = (dx_ref[s, 0, 0] < 0, dy_ref[s, 0, 0] < 0,
+                       dz_ref[s, 0, 0] < 0)
+        return S
+
+    sides = [setup(s) for s in range(K)]
+
+    def _fetch(idx):
+        return nodes_ref[pl.ds(idx * NR, NR), :]
+
+    def _fold_or(m):
+        for sh in (64, 32, 16, 8, 4, 2, 1):
+            m = m | pltpu.roll(m, sh, axis=1)
+        sh = 1
+        while sh < m.shape[0]:
+            m = m | pltpu.roll(m, sh, axis=0)
+            sh *= 2
+        return m
+
+    def _slab(S, rowblk, t_b, base):
+        # identical math to _kernel_body._slab8 on this packet's rays
+        ox, oy, oz = S["ox"], S["oy"], S["oz"]
+        ix, iy, iz = S["ix"], S["iy"], S["iz"]
+        snx, sny, snz = S["snx"], S["sny"], S["snz"]
+        min_t = S["min_t"]
+        m = None
+        for w in range(width):
+            if packed16:
+                row = rowblk[0:1]
+                b0x, b0y, b0z = (row[0, 6 * w], row[0, 6 * w + 1],
+                                 row[0, 6 * w + 2])
+                b1x, b1y, b1z = (row[0, 6 * w + 3], row[0, 6 * w + 4],
+                                 row[0, 6 * w + 5])
+            else:
+                rr, cc = divmod(w, 8)
+                row = rowblk[rr : rr + 1]
+                b0x, b0y, b0z = (row[0, 8 * cc], row[0, 8 * cc + 1],
+                                 row[0, 8 * cc + 2])
+                b1x, b1y, b1z = (row[0, 8 * cc + 3], row[0, 8 * cc + 4],
+                                 row[0, 8 * cc + 5])
+            if shared_origin:
+                osx, osy, osz = S["os3"]
+                t0x = jnp.where(snx, b1x - osx, b0x - osx) * ix
+                t0y = jnp.where(sny, b1y - osy, b0y - osy) * iy
+                t0z = jnp.where(snz, b1z - osz, b0z - osz) * iz
+                t1x = jnp.where(snx, b0x - osx, b1x - osx) * ix * MM
+                t1y = jnp.where(sny, b0y - osy, b1y - osy) * iy * MM
+                t1z = jnp.where(snz, b0z - osz, b1z - osz) * iz * MM
+            else:
+                lox = jnp.where(snx, b1x, b0x)
+                hix = jnp.where(snx, b0x, b1x)
+                loy = jnp.where(sny, b1y, b0y)
+                hiy = jnp.where(sny, b0y, b1y)
+                loz = jnp.where(snz, b1z, b0z)
+                hiz = jnp.where(snz, b0z, b1z)
+                t0x = (lox - ox) * ix
+                t0y = (loy - oy) * iy
+                t0z = (loz - oz) * iz
+                t1x = (hix - ox) * ix * MM
+                t1y = (hiy - oy) * iy * MM
+                t1z = (hiz - oz) * iz * MM
+            tmin = min_t
+            tmin = jnp.where(t0x > tmin, t0x, tmin)
+            tmin = jnp.where(t0y > tmin, t0y, tmin)
+            tmin = jnp.where(t0z > tmin, t0z, tmin)
+            tmax = t_b
+            tmax = jnp.where(t1x < tmax, t1x, tmax)
+            tmax = jnp.where(t1y < tmax, t1y, tmax)
+            tmax = jnp.where(t1z < tmax, t1z, tmax)
+            hit_c = (tmin <= tmax).astype(jnp.int32) << (base + w)
+            m = hit_c if m is None else m | hit_c
+        return m
+
+    def _push(s, rowblk, mask, base, sp, lq):
+        neg_ax = sides[s]["neg_ax"]
+        if packed16:
+            v112 = rowblk[0, 112]
+            neg = jnp.where(
+                v112 >= 32.0, neg_ax[2],
+                jnp.where(v112 >= 16.0, neg_ax[1], neg_ax[0]),
+            )
+        else:
+            axis_f = rowblk[0, 80]
+            neg = jnp.where(
+                axis_f == 0.0, neg_ax[0],
+                jnp.where(axis_f == 1.0, neg_ax[1], neg_ax[2]),
+            )
+        for j in range(width):
+            jd = width - 1 - j
+            cc = jnp.where(neg, j, jd)
+            bit = (mask >> (base + cc)) & 1
+            if packed16:
+                meta = jnp.where(
+                    neg, rowblk[0, 96 + j], rowblk[0, 96 + jd]
+                ).astype(jnp.int32)
+                cnt = jnp.where(
+                    neg, rowblk[0, 112 + j], rowblk[0, 112 + jd]
+                ).astype(jnp.int32)
+            else:
+                ra, ca = divmod(j, 8)
+                rd, cd = divmod(jd, 8)
+                meta = jnp.where(
+                    neg, rowblk[ra, 64 + ca], rowblk[rd, 64 + cd]
+                ).astype(jnp.int32)
+                cnt = jnp.where(
+                    neg, rowblk[ra, 72 + ca], rowblk[rd, 72 + cd]
+                ).astype(jnp.int32)
+            internal = (meta >= 0).astype(jnp.int32)
+            stack_ref[SBASE[s] + sp] = meta
+            sp = sp + bit * internal
+            leafq_ref[QBASE[s] + lq] = ((-meta - 1) << 4) | (cnt & 15)
+            lq = lq + bit * (1 - internal)
+        return sp, lq
+
+    def make_leaf_fn(exact: bool, collect: bool):
+        if intersector == "woop":
+
+            def leaf_woop(S, lrow, cnt, carry):
+                t_b, u_b, v_b, p_b = carry
+                dx, dy, dz = S["dx"], S["dy"], S["dz"]
+                min_t = S["min_t"]
+                rox, roy, roz = (S["os3"] if shared_origin
+                                 else (S["ox"], S["oy"], S["oz"]))
+                for ti in range(leaf_unroll):
+                    ba = 12 * ti
+                    rx = rox - lrow[0, ba + 9]
+                    ry = roy - lrow[0, ba + 10]
+                    rz = roz - lrow[0, ba + 11]
+                    m20, m21, m22 = (lrow[0, ba + 6], lrow[0, ba + 7],
+                                     lrow[0, ba + 8])
+                    opz = m20 * rx + m21 * ry + m22 * rz
+                    dpz = m20 * dx + m21 * dy + m22 * dz
+                    rcp = 1.0 / dpz
+                    tt = -opz * rcp
+                    m00, m01, m02 = (lrow[0, ba], lrow[0, ba + 1],
+                                     lrow[0, ba + 2])
+                    uu = (m00 * rx + m01 * ry + m02 * rz
+                          ) + tt * (m00 * dx + m01 * dy + m02 * dz)
+                    m10, m11, m12 = (lrow[0, ba + 3], lrow[0, ba + 4],
+                                     lrow[0, ba + 5])
+                    vv = (m10 * rx + m11 * ry + m12 * rz
+                          ) + tt * (m10 * dx + m11 * dy + m12 * dz)
+                    pid_t = lrow[0, 108 + ti].astype(jnp.int32)
+                    valid = (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                    valid = valid & (tt <= t_b) & (tt >= min_t) & (ti < cnt)
+                    if cull_back_face:
+                        valid = valid & (dpz < 0.0)
+                    if use_skip:
+                        valid = valid & (pid_t != S["skip_pid"])
+                    if prim_range is not None:
+                        valid = valid & (pid_t >= prim_range[0]) & (
+                            pid_t < prim_range[1]
+                        )
+                    t_b = jnp.where(valid, tt, t_b)
+                    u_b = jnp.where(valid, uu, u_b)
+                    v_b = jnp.where(valid, vv, v_b)
+                    p_b = jnp.where(valid, pid_t, p_b)
+                    if occlusion:
+                        t_b = jnp.where(valid, -tt - 1.0, t_b)
+                return t_b, u_b, v_b, p_b
+
+            return leaf_woop
+
+        def leaf_wt(S, lrow, cnt, carry):
+            if collect:
+                t_b, u_b, v_b, p_b, z_b = carry
+            else:
+                t_b, u_b, v_b, p_b = carry
+            min_t = S["min_t"]
+            sx, sy, sz = S["sx"], S["sy"], S["sz"]
+            ro3 = (S["os3"] if shared_origin
+                   else (S["ox"], S["oy"], S["oz"]))
+            for ti in range(leaf_unroll):
+                p0x, p0y, p0z = (lrow[0, 9 * ti], lrow[0, 9 * ti + 1],
+                                 lrow[0, 9 * ti + 2])
+                p1x, p1y, p1z = (lrow[0, 9 * ti + 3], lrow[0, 9 * ti + 4],
+                                 lrow[0, 9 * ti + 5])
+                p2x, p2y, p2z = (lrow[0, 9 * ti + 6], lrow[0, 9 * ti + 7],
+                                 lrow[0, 9 * ti + 8])
+                pid_t = lrow[0, 90 + ti].astype(jnp.int32)
+                a3 = (p0x - ro3[0], p0y - ro3[1], p0z - ro3[2])
+                b3 = (p1x - ro3[0], p1y - ro3[1], p1z - ro3[2])
+                c3 = (p2x - ro3[0], p2y - ro3[1], p2z - ro3[2])
+                if kz_static is None:
+                    kz, kx, ky = S["kz"], S["kx"], S["ky"]
+                    Az = comp(*a3, kz)
+                    Bz = comp(*b3, kz)
+                    Cz = comp(*c3, kz)
+                    Ax = comp(*a3, kx) - sx * Az
+                    Ay = comp(*a3, ky) - sy * Az
+                    Bx = comp(*b3, kx) - sx * Bz
+                    By = comp(*b3, ky) - sy * Bz
+                    Cx = comp(*c3, kx) - sx * Cz
+                    Cy = comp(*c3, ky) - sy * Cz
+                else:
+                    KZ = kz_static
+                    KX = (KZ + 1) % 3
+                    KY = (KZ + 2) % 3
+                    Az, Bz, Cz = a3[KZ], b3[KZ], c3[KZ]
+                    Ax = a3[KX] - sx * Az
+                    Ay = a3[KY] - sy * Az
+                    Bx = b3[KX] - sx * Bz
+                    By = b3[KY] - sy * Bz
+                    Cx = c3[KX] - sx * Cz
+                    Cy = c3[KY] - sy * Cz
+                U = Cx * By - Cy * Bx
+                V = Ax * Cy - Ay * Cx
+                W = Bx * Ay - By * Ax
+                if collect:
+                    z_b = z_b | (
+                        ((U == 0.0) | (V == 0.0) | (W == 0.0)) & (ti < cnt)
+                    ).astype(jnp.int32)
+                if exact:
+                    zmask = (U == 0.0) | (V == 0.0) | (W == 0.0)
+                    U = jnp.where(zmask, prod_diff(Cx, By, Cy, Bx), U)
+                    V = jnp.where(zmask, prod_diff(Ax, Cy, Ay, Cx), V)
+                    W = jnp.where(zmask, prod_diff(Bx, Ay, By, Ax), W)
+                if cull_back_face:
+                    edge_ok = jnp.minimum(jnp.minimum(U, V), W) >= 0.0
+                else:
+                    edge_ok = (
+                        jnp.minimum(jnp.minimum(U, V), W) >= 0.0
+                    ) | (jnp.maximum(jnp.maximum(U, V), W) <= 0.0)
+                det = U + V + W
+                rcp = 1.0 / det
+                tt = (U * (sz * Az) + V * (sz * Bz) + W * (sz * Cz)) * rcp
+                valid = edge_ok & (tt <= t_b) & (tt >= min_t)
+                valid = valid & (ti < cnt)
+                if use_skip:
+                    valid = valid & (pid_t != S["skip_pid"])
+                if prim_range is not None:
+                    valid = valid & (pid_t >= prim_range[0]) & (
+                        pid_t < prim_range[1]
+                    )
+                t_b = jnp.where(valid, tt, t_b)
+                u_b = jnp.where(valid, V * rcp, u_b)
+                v_b = jnp.where(valid, W * rcp, v_b)
+                p_b = jnp.where(valid, pid_t, p_b)
+                if occlusion:
+                    t_b = jnp.where(valid, -tt - 1.0, t_b)
+            if collect:
+                return t_b, u_b, v_b, p_b, z_b
+            return t_b, u_b, v_b, p_b
+
+        return leaf_wt
+
+    def _node_cond(c):
+        w = (c[0] > 0) & (c[K] < LQ_CAP)
+        for s in range(1, K):
+            w = w | ((c[s] > 0) & (c[K + s] < LQ_CAP))
+        return w
+
+    def make_node_step(tbs):
+        def node_step(c):
+            sps = list(c[:K])
+            lqs = list(c[K : 2 * K])
+            rows_all = []
+            mvecs = []
+            for s in range(K):
+                sp, lq = sps[s], lqs[s]
+                # pops gate on packet ACTIVITY (stack non-empty AND
+                # queue not full) — an idle packet pops the park node,
+                # whose empty boxes produce zero mask bits, so its
+                # pushes are the harmless one-past-top writes
+                act = ((sp > 0) & (lq < LQ_CAP)).astype(jnp.int32)
+                sp = sp - act
+                idx = jnp.where(
+                    act == 1, stack_ref[SBASE[s] + sp], dummy_idx
+                )
+                rows = [_fetch(idx)]
+                for k in range(1, pop_n):
+                    hask = act * (sp > 0).astype(jnp.int32)
+                    sp = sp - hask
+                    idxk = jnp.where(
+                        hask == 1, stack_ref[SBASE[s] + sp], dummy_idx
+                    )
+                    rows.append(_fetch(idxk))
+                sps[s] = sp
+                m = _slab(sides[s], rows[0], tbs[s], 0)
+                for k in range(1, pop_n):
+                    m = m | _slab(sides[s], rows[k], tbs[s], width * k)
+                rows_all.append(rows)
+                mvecs.append(m)
+            nb = width * pop_n
+            if nb * K <= 32:
+                # all packets' visit bits fit one int32: ONE mask
+                # reduction + ONE vector->scalar read for K node steps
+                # (arithmetic >> is safe: _push reads bits 0..nb-1 of
+                # each shifted mask, below any bit-31 sign smear)
+                m = mvecs[0]
+                for s in range(1, K):
+                    m = m | (mvecs[s] << (nb * s))
+                msc = _fold_or(m)[0, 0]
+                masks = [msc >> (nb * s) for s in range(K)]
+            else:
+                # per-packet reductions, scalar reads BACK-TO-BACK: the
+                # scalar unit stalls once for the batch (packet B's slab
+                # work ran while A's read drained the pipeline)
+                mvecs = [_fold_or(m) for m in mvecs]
+                masks = [mv[0, 0] for mv in mvecs]
+            for s in range(K):
+                sp, lq = sps[s], lqs[s]
+                for k in range(pop_n - 1, 0, -1):
+                    sp, lq = _push(s, rows_all[s][k], masks[s],
+                                   width * k, sp, lq)
+                sp, lq = _push(s, rows_all[s][0], masks[s], 0, sp, lq)
+                sps[s], lqs[s] = sp, lq
+            return (*sps, *lqs)
+
+        return node_step
+
+    def run_pass(exact: bool, collect: bool):
+        leaf_fn = make_leaf_fn(exact, collect)
+        nacc = 5 if collect else 4
+
+        def make_drain(lqs):
+            def drain_pair(q, flat):
+                accs = [list(flat[s * nacc : (s + 1) * nacc])
+                        for s in range(K)]
+                out = []
+                for s in range(K):
+                    # a packet whose queue is shorter gets cnt=0 (row 0
+                    # fetched, zero triangles accepted) — wasted VPU
+                    # lanes that overlap the longer packet's real work
+                    has = (q < lqs[s]).astype(jnp.int32)
+                    packed = leafq_ref[QBASE[s] + q] * has
+                    cnt = (packed & 15) * has
+                    lrow = leafs_ref[pl.ds(packed >> 4, 1), :]
+                    out.extend(leaf_fn(sides[s], lrow, cnt,
+                                       tuple(accs[s])))
+                return tuple(out)
+
+            return drain_pair
+
+        inits = []
+        for s in range(K):
+            mt = sides[s]["max_t"]
+            ini = [mt, jnp.zeros_like(mt), jnp.zeros_like(mt),
+                   jnp.full(mt.shape, -1, jnp.int32)]
+            if collect:
+                ini.append(jnp.zeros(mt.shape, jnp.int32))
+            inits.append(ini)
+
+        def outer(state):
+            sps = state[:K]
+            flat = state[K:]
+            tbs = [flat[s * nacc] for s in range(K)]
+            carry = jax.lax.while_loop(
+                _node_cond,
+                make_node_step(tbs),
+                (*sps, *([jnp.int32(0)] * K)),
+            )
+            sps = carry[:K]
+            lqs = carry[K : 2 * K]
+            lmax = lqs[0]
+            for s in range(1, K):
+                lmax = jnp.maximum(lmax, lqs[s])
+            flat = jax.lax.fori_loop(0, lmax, make_drain(lqs),
+                                     tuple(flat))
+            return (*sps, *flat)
+
+        def _outer_cond(st):
+            w = st[0] > 0
+            for s in range(1, K):
+                w = w | (st[s] > 0)
+            return w
+
+        st0 = tuple([jnp.int32(1)] * K) + tuple(
+            x for ini in inits for x in ini
+        )
+        fin = jax.lax.while_loop(_outer_cond, outer, st0)
+        return [list(fin[K + s * nacc : K + (s + 1) * nacc])
+                for s in range(K)]
+
+    def _write(accs):
+        for s in range(K):
+            t_out[s, :, :] = accs[s][0]
+            u_out[s, :, :] = accs[s][1]
+            v_out[s, :, :] = accs[s][2]
+            pid_out[s, :, :] = accs[s][3]
+
+    for s in range(K):
+        stack_ref[SBASE[s]] = 0
+
+    if inkernel_exact:
+        accs = run_pass(exact=False, collect=True)
+        _write(accs)
+        z = accs[0][4]
+        for s in range(1, K):
+            z = z | accs[s][4]
+        zf = _fold_or(z)[0, 0]
+
+        @pl.when(zf != 0)
+        def _retrace():
+            for s in range(K):
+                stack_ref[SBASE[s]] = 0
+            _write(run_pass(exact=True, collect=False))
+
+        return
+
+    _write(run_pass(exact=exact_edge_fallback, collect=False))
+
+
 @functools.lru_cache(maxsize=32)
 def _make_kernel(
     n_packets: int,
@@ -1078,8 +1634,56 @@ def _make_kernel(
     fr_pop_n: int = 2,
     refit: bool = False,
     refit_exact: bool = False,
+    interleave: int = 1,
     interpret: bool = False,
 ):
+    if interleave > 1:
+        # K-way interleaved body: K packets per grid step (see
+        # _kernel_body_il); benchmark-class configs only — callers gate
+        body = functools.partial(
+            _kernel_body_il,
+            K=interleave,
+            cull_back_face=cull_back_face,
+            exact_edge_fallback=exact_edge_fallback,
+            use_skip=use_skip,
+            stack_size=stack_size,
+            leaf_unroll=leaf_unroll,
+            pop_n=pop_n,
+            occlusion=occlusion,
+            prim_range=prim_range,
+            inkernel_exact=inkernel_exact,
+            lq_cap=lq_cap,
+            intersector=intersector,
+            kz_static=kz_static,
+            shared_origin=shared_origin,
+            uniform_sign=uniform_sign,
+            width=width,
+        )
+        ray_spec = pl.BlockSpec((interleave, sub, LANES),
+                                lambda i: (i, 0, 0))
+        pkt_spec = pl.BlockSpec((interleave, 1, LANES),
+                                lambda i: (i, 0, 0),
+                                memory_space=pltpu.SMEM)
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        return jax.jit(pl.pallas_call(
+            body,
+            grid=(n_packets // interleave,),
+            in_specs=[vmem, vmem] + [ray_spec] * 9 + [pkt_spec],
+            out_specs=(ray_spec,) * 4,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((n_packets, sub, LANES), d)
+                for d in (jnp.float32, jnp.float32, jnp.float32,
+                          jnp.int32)
+            ),
+            scratch_shapes=[
+                pltpu.SMEM((interleave * stack_size,), jnp.int32),
+                pltpu.SMEM((interleave * 64,), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_mb * 1024 * 1024,
+            ),
+            interpret=interpret,
+        ))
     inner = functools.partial(
         _kernel_body,
         cull_back_face=cull_back_face,
@@ -1303,6 +1907,7 @@ def traverse_bvh8(
     refit_inkernel: bool = False,
     packet_roots=None,
     specialize: tuple | None = None,
+    interleave: int = 1,
     node_split: bool = False,
     leaf_split: bool = False,
     debug_counts: bool = False,
@@ -1431,6 +2036,16 @@ def traverse_bvh8(
         # VPU ops per pop instead of ~17 ops x 32 children on
         # (sub, 128) tiles — the headline engine for coherent batches.
         node_split = False
+    if interleave > 1 and (
+        hbm_nodes or hbm_leafs or refit_inkernel or debug_counts
+        or _flag_zero_edges or node_split or leaf_split
+        or packet_roots is not None
+        or frustum not in ("auto", False)
+    ):
+        # the K-way body covers the benchmark-class configs only
+        warnings.warn("interleave>1 supports only the VMEM-resident "
+                      "per-ray-vote engine; falling back to interleave=1")
+        interleave = 1
     bs = rays.batch_shape
     flat = jax.tree_util.tree_map(
         lambda x: x.reshape((-1,) + x.shape[len(bs):]), rays
@@ -1438,6 +2053,10 @@ def traverse_bvh8(
     R = flat.org.shape[0]
     packet = sub * LANES
     n_packets = -(-R // packet)
+    if interleave > 1:
+        # round the packet count to a multiple of K (tail packets pad
+        # with dead rays and finish their lock-step group in one step)
+        n_packets = -(-n_packets // interleave) * interleave
     pad = n_packets * packet - R
 
     def prep(x, fill):
@@ -1607,6 +2226,7 @@ def traverse_bvh8(
         frustum_pop_n,
         refit_inkernel,
         refit_exact,
+        interleave=interleave,
         # NOTE: interpret=True nominally lets CPU cover this kernel, but
         # the Pallas interpreter is impractically slow on it (a 256-ray
         # toy config exceeds 9 min); TPU verification stays with
