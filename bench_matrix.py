@@ -389,6 +389,22 @@ def main():
         if last_err is not None:
             emit("coherent_primary_mrays_per_s_10mtri_devicebuild",
                  -1.0, "Mrays/s", error=last_err, res=res, sub=sub_t)
+        else:
+            # warm rebuild (phase compiles cached), VERDICT r3 #4: free
+            # the first build's tables, rebuild the same scene, time it.
+            # Protocol matches tools/exp_r4_devbuild.py (warm 22.2 s in
+            # tools/logs/exp_r4_devbuild5.out); rebuilding while the
+            # first tables are still alive OOMs on fragmentation.
+            try:
+                del sd
+                t0 = time.perf_counter()
+                sd = collapse_lbvh_device(vd, fd, width=16, max_leaf=9)
+                float(np.asarray(sd.nodes[0, 0]))
+                emit("tenm_device_build_warm_s",
+                     time.perf_counter() - t0, "s", res=res)
+            except Exception as e:
+                emit("tenm_device_build_warm_s", -1.0, "s",
+                     error=f"{type(e).__name__}: {e}"[:200])
 
     with open("BENCH_MATRIX.json", "w") as fh:
         json.dump(ROWS, fh, indent=1)
