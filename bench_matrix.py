@@ -30,7 +30,22 @@ import numpy as np
 SKIP = set(
     s for s in os.environ.get("NANORT_MATRIX_SKIP", "").split(",") if s
 )
+# NANORT_MATRIX_MERGE=1: re-run a subset of rows (via SKIP) and merge
+# them into the existing BENCH_MATRIX.json instead of replacing the
+# whole file — rows with the same metric name are updated in place.
+MERGE = os.environ.get("NANORT_MATRIX_MERGE") == "1"
 ROWS = []
+
+
+def _write():
+    out = ROWS
+    if MERGE and os.path.exists("BENCH_MATRIX.json"):
+        with open("BENCH_MATRIX.json") as fh:
+            out = json.load(fh)
+        new = {r["metric"]: r for r in ROWS}
+        out = [new.pop(r["metric"], r) for r in out] + list(new.values())
+    with open("BENCH_MATRIX.json", "w") as fh:
+        json.dump(out, fh, indent=1)
 
 
 def emit(name, value, unit, **extra):
@@ -39,8 +54,7 @@ def emit(name, value, unit, **extra):
     print(json.dumps(row), flush=True)
     # write after every row: a crash in a later section (e.g. an HBM
     # OOM at 10M tris) must not lose the earlier measurements
-    with open("BENCH_MATRIX.json", "w") as fh:
-        json.dump(ROWS, fh, indent=1)
+    _write()
 
 
 def readback(x):
@@ -206,16 +220,24 @@ def main():
                                      tile=16384)
             return readback(img.mean())
 
-        t0 = time.perf_counter()
-        run_b(1)
-        print(f"# config_b first (1 spp) {time.perf_counter()-t0:.0f}s",
-              file=sys.stderr, flush=True)
+        # warm at FULL spp: the fused kernel's grid/loop bake spp in, so
+        # an spp=1 warmup does not prime the spp=100 compile (r4 matrix
+        # initially timed 6.4 s = ~4.5 s compile + 1.9 s render)
         t0 = time.perf_counter()
         run_b(spp)
-        dur = time.perf_counter() - t0
+        first = time.perf_counter() - t0
+        print(f"# config_b first ({spp} spp) {first:.0f}s",
+              file=sys.stderr, flush=True)
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_b(spp)
+            ts.append(time.perf_counter() - t0)
+        dur = min(ts)
         emit("path_tracer_512_spp", dur, "s", spp=spp,
              scene=scene_tag, faces=int(np.asarray(sf).shape[0]),
-             samples_per_s=round(512 * 512 * spp / dur / 1e6, 2))
+             samples_per_s=round(512 * 512 * spp / dur / 1e6, 2),
+             first_incl_compile_s=round(first, 1))
 
     # ---- incoherent: fully-random rays, treelet-binned engine ----
     if "incoherent" not in SKIP:
@@ -406,8 +428,7 @@ def main():
                 emit("tenm_device_build_warm_s", -1.0, "s",
                      error=f"{type(e).__name__}: {e}"[:200])
 
-    with open("BENCH_MATRIX.json", "w") as fh:
-        json.dump(ROWS, fh, indent=1)
+    _write()
     print("# wrote BENCH_MATRIX.json", file=sys.stderr)
 
 
