@@ -339,11 +339,17 @@ def main():
         mesh = TriangleMesh(vertices=v, faces=f)
         cam = look_at(eye=(0, 0, 2.2), center=(0, 0, 0),
                       width=res, height=res, fov=60.0)
-        rays_t, _ = tile_image_rays(pinhole_rays(cam), min(128, res), 32)
         sub_t = 16
-        spec_t = detect_specialization(rays_t, sub=sub_t)
 
         def time_traverse(s8t):
+            # rays are scoped here so the ~2 GB megabatch is freed
+            # before the device build below (keeping it resident put
+            # the r4 matrix devicebuild over the HBM edge:
+            # RESOURCE_EXHAUSTED on both attempts while the standalone
+            # exp_r4_devbuild5 protocol succeeded)
+            rays_t, _ = tile_image_rays(pinhole_rays(cam),
+                                        min(128, res), 32)
+            spec_t = detect_specialization(rays_t, sub=sub_t)
             h = traverse_bvh8(s8t, rays_t, specialize=spec_t, sub=sub_t)
             float(h.t.min())
             ts = []

@@ -492,11 +492,13 @@ def render_path_traced(
     unbiased; cross-pixel noise becomes correlated), and fused-kernel
     bounce blocks gain direction coherence (config B 2.23 -> 1.92 s,
     exp_r4_ptb2). N must DIVIDE spp or the wedge coverage is uneven
-    (a small azimuth bias); the default picks the largest divisor of
-    spp in {8, 5, 4, 3, 2, 1}. Pass 1 to disable."""
+    (a small azimuth bias); the default picks the first divisor of
+    spp in {4, 8, 5, 3, 2, 1} — 4 wedges measured best on config B
+    (az4 1.92 s vs az8 1.97 s vs az1 2.23 s, exp_r4_ptb2). Pass 1 to
+    disable."""
     if azimuth_strata is None:
         azimuth_strata = next(
-            n for n in (8, 5, 4, 3, 2, 1) if spp % n == 0)
+            n for n in (4, 8, 5, 3, 2, 1) if spp % n == 0)
     bs = cam_rays.batch_shape
     org = cam_rays.org.reshape(-1, 3)
     d = cam_rays.dir.reshape(-1, 3)
