@@ -360,38 +360,21 @@ def main():
                 ts.append(time.perf_counter() - t0)
             return res * res / min(ts) / 1e6
 
-        # (a) quality build: native SAH host build + vectorized collapse
-        t0 = time.perf_counter()
-        bvh, _ = build_triangle_bvh(mesh, opt8)
-        build_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        s8 = collapse_bvh8(bvh, v, f)
-        collapse_s = time.perf_counter() - t0
-        print(f"# 10M build {build_s:.1f}s collapse {collapse_s:.1f}s",
-              file=sys.stderr, flush=True)
-        s8 = s8._replace(
-            nodes=jax.device_put(jnp.asarray(s8.nodes)),
-            leafs=jax.device_put(jnp.asarray(s8.leafs)),
-        )
-        emit("coherent_primary_mrays_per_s_10mtri", time_traverse(s8),
-             "Mrays/s", build_s=round(build_s, 1),
-             collapse_s=round(collapse_s, 1), res=res, sub=sub_t)
-        del s8, bvh
-
-        # (b) interactive build: fully device-side LBVH -> BVH16 (LBVH
-        # tree quality traces ~15-20% slower, but the whole build runs
-        # on-chip in seconds — the "~10M tris efficiently" capacity
-        # story no longer depends on a minutes-long host pass)
+        # (b) interactive build FIRST: fully device-side LBVH -> BVH16
+        # (LBVH tree quality traces ~15-20% slower, but the whole build
+        # runs on-chip in seconds — the "~10M tris efficiently" capacity
+        # story no longer depends on a minutes-long host pass). This
+        # block runs BEFORE the host-build row: phase A needs ~3.4 GB of
+        # transient contiguous tables and only succeeds on a fresh
+        # allocator — after the host scene's tables + a 67M-ray traverse
+        # it dies on fragmentation (RESOURCE_EXHAUSTED both attempts,
+        # tools/logs/matrix_r4_tenm.log), while this order matches the
+        # protocol that works (tools/logs/exp_r4_devbuild5.out).
         from nanort_tpu.build.device_collapse import collapse_lbvh_device
 
         vd = jax.device_put(jnp.asarray(v))
         fd = jax.device_put(jnp.asarray(f))
         jax.block_until_ready(vd)
-        # ONE build, timed cold (incl. the two phase compiles + the
-        # throttled-host trace): a second 10M build in the same process
-        # exhausts HBM on allocator fragmentation even after freeing the
-        # first tables (tools/logs/exp_r3_devbuild5.*), and real usage
-        # builds a given scene bucket once
         # one retry: runs during TPU fault recovery fail with transient
         # UNAVAILABLE/INTERNAL errors (memory/axon-tpu-quirks class) —
         # retry before recording a failure, and record failures as
@@ -433,6 +416,29 @@ def main():
             except Exception as e:
                 emit("tenm_device_build_warm_s", -1.0, "s",
                      error=f"{type(e).__name__}: {e}"[:200])
+        try:
+            del sd
+        except NameError:
+            pass
+        del vd, fd
+
+        # (a) quality build: native SAH host build + vectorized collapse
+        t0 = time.perf_counter()
+        bvh, _ = build_triangle_bvh(mesh, opt8)
+        build_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        s8 = collapse_bvh8(bvh, v, f)
+        collapse_s = time.perf_counter() - t0
+        print(f"# 10M build {build_s:.1f}s collapse {collapse_s:.1f}s",
+              file=sys.stderr, flush=True)
+        s8 = s8._replace(
+            nodes=jax.device_put(jnp.asarray(s8.nodes)),
+            leafs=jax.device_put(jnp.asarray(s8.leafs)),
+        )
+        emit("coherent_primary_mrays_per_s_10mtri", time_traverse(s8),
+             "Mrays/s", build_s=round(build_s, 1),
+             collapse_s=round(collapse_s, 1), res=res, sub=sub_t)
+        del s8, bvh
 
     _write()
     print("# wrote BENCH_MATRIX.json", file=sys.stderr)
