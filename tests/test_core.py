@@ -5,9 +5,12 @@ Mirrors the reference's semantics with analytically known rays
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nanort_tpu import intersect_ray_aabb, safe_inverse
 from nanort_tpu.ops.triangle import intersect_triangles, ray_coeffs
+
+pytestmark = pytest.mark.quick  # core-math half of the -m quick gate
 
 
 class TestSafeInverse:

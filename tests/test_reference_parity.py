@@ -47,9 +47,12 @@ def _build_harness():
     return r.returncode == 0
 
 
-pytestmark = pytest.mark.skipif(
-    not _build_harness(), reason="reference or g++ unavailable"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not _build_harness(), reason="reference or g++ unavailable"
+    ),
+    pytest.mark.quick,  # the cheap parity gate: pytest -m quick
+]
 
 
 def _run_reference(v, f, rays, tmpdir):
