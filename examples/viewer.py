@@ -10,14 +10,17 @@ Two surfaces replace the reference's ImGui window:
   orbits (RequestRender -> accumulation restarts), demonstrating the
   refresh/cancel contract live.
 * --http [PORT]: a tiny stdlib HTTP page at localhost:PORT with the
-  accumulating PNG, pass counter, and Orbit / Restart / Quit buttons
-  wired to the same contract (rtcCommit-style edits would hook in the
-  same way).
+  accumulating PNG, pass counter, Orbit / Restart / Quit buttons, AND a
+  per-node gizmo (reference nanosg/main.cc ImGuizmo): pick a scene-graph
+  node, nudge it along x/y/z — the edit recomposes the node transform,
+  re-commits the scene (cached mesh BVHs: no rebuild, nanosg.h:409-443)
+  and restarts accumulation under the same cancel contract.
 
 Usage:
   python examples/viewer.py [seconds] [camera_type]
   python examples/viewer.py --http 8000 [seconds]
 """
+import os
 import sys
 import time
 
@@ -49,6 +52,69 @@ def build_scene():
     s8 = collapse_bvh8(bvh, v, f)
     s8 = s8._replace(nodes=jnp.asarray(s8.nodes), leafs=jnp.asarray(s8.leafs))
     return bvh, mesh, s8
+
+
+def build_scene_graph():
+    """Named-node scene for the gizmo viewer: a cornell shell plus two
+    movable spheres (reference nanosg obj scenes are also multi-node)."""
+    from nanort_tpu.scene.graph import Node, Scene
+
+    bv, bf = make_cornell_box(2.0)
+    sv, sf = make_uv_sphere(20, 40, 0.45)
+    sc = Scene()
+    sc.add_node(Node("box", nrt.TriangleMesh(
+        vertices=jnp.asarray(bv), faces=jnp.asarray(bf))))
+    ball = nrt.TriangleMesh(vertices=jnp.asarray(sv), faces=jnp.asarray(sf))
+    from nanort_tpu.scene import matrix as mat
+
+    sc.add_node(Node("ball_a", ball, mat.translate((-0.7, -0.6, 0.0))))
+    sc.add_node(Node("ball_b", ball, mat.translate((0.7, -0.6, 0.5))))
+    sc.commit()
+    return sc
+
+
+def make_render_pass_sg(scene, state, cam_type="perspective"):
+    """Scene-graph render pass: headlight + 2-sample AO, all through
+    Scene.traverse so node edits (re-commits) take effect live."""
+    import jax
+    from nanort_tpu.scene.graph import scene_traverse
+
+    tint = np.array([[0.9, 0.9, 0.95], [0.95, 0.5, 0.4],
+                     [0.4, 0.6, 0.95], [0.8, 0.8, 0.4]], np.float32)
+
+    def render_pass(p, key):
+        cs = state["cs"]
+        az = state["azimuth"]
+        el = state.get("elevation", 0.0)
+        ce = np.cos(el)
+        eye = (3.4 * ce * np.sin(az), 3.4 * np.sin(el),
+               3.4 * ce * np.cos(az))
+        cam = look_at(eye=eye, center=(0, 0, 0), width=SIZE, height=SIZE,
+                      fov=60)
+        rays = generate_rays(cam, cam_type)
+        h = scene_traverse(cs, rays)
+        n = np.asarray(h.normal_s).reshape(-1, 3)
+        d = np.asarray(rays.dir).reshape(-1, 3)
+        hit = np.asarray(h.hit).reshape(-1)
+        shade = np.abs((n * -d).sum(-1)) * 0.6 + 0.25
+        # 2 AO samples per pass: offset along the normal, random
+        # hemisphere dir, occluded when anything lies within 1.2 units
+        pos = np.asarray(h.position).reshape(-1, 3) + 1e-3 * n
+        kk = np.asarray(jax.random.uniform(key, (2, n.shape[0], 3))) - 0.5
+        ao = np.zeros(n.shape[0], np.float32)
+        for s in range(2):
+            w = kk[s] + n * (np.abs(kk[s]).sum(-1, keepdims=True) + 1e-3)
+            w /= np.linalg.norm(w, axis=-1, keepdims=True) + 1e-20
+            sh = scene_traverse(cs, nrt.make_rays(
+                pos, w.astype(np.float32),
+                max_t=np.where(hit, 1.2, -1.0).astype(np.float32)))
+            ao += 1.0 - np.asarray(sh.hit).reshape(-1).astype(np.float32)
+        nid = np.minimum(np.asarray(h.node_id).reshape(-1), len(tint) - 1)
+        rgb = (shade * (0.35 + 0.65 * ao / 2))[:, None] * tint[nid]
+        rgb = np.where(hit[:, None], rgb, 0.05)
+        return {"rgb": rgb.reshape(SIZE, SIZE, 3)}
+
+    return render_pass
 
 
 def make_render_pass(bvh, mesh, s8, state, cam_type="perspective"):
@@ -134,8 +200,29 @@ PAGE = b"""<!doctype html><title>nanort_tpu viewer</title>
 <button onclick="fetch('/orbit',{method:'POST'})">Orbit</button>
 <button onclick="fetch('/restart',{method:'POST'})">Restart</button>
 <button onclick="fetch('/quit',{method:'POST'})">Quit</button>
-<div>drag the image to orbit (trackball: accumulation restarts live)</div>
+<div style="margin-top:6px">
+node gizmo: <select id=node></select>
+<span id=moves></span>
+<div>drag the image to orbit; node moves re-commit the scene live</div>
+</div>
 <script>
+async function loadNodes(){
+  const ns=await (await fetch('/nodes')).json();
+  const sel=document.getElementById('node');
+  sel.innerHTML=ns.map(n=>'<option>'+n+'</option>').join('');
+  const mv=document.getElementById('moves');
+  const axes=[['x',1,0,0],['y',0,1,0],['z',0,0,1]];
+  mv.innerHTML=axes.map(a=>
+    '<button onclick="moveNode('+a[1]+','+a[2]+','+a[3]+')">+'+a[0]+
+    '</button><button onclick="moveNode('+(-a[1])+','+(-a[2])+','+
+    (-a[3])+')">-'+a[0]+'</button>').join('');
+}
+function moveNode(x,y,z){
+  const name=document.getElementById('node').value;
+  fetch('/node',{method:'POST',body:JSON.stringify(
+    {name:name,dx:0.25*x,dy:0.25*y,dz:0.25*z})});
+}
+loadNodes();
 async function tick(){
   document.getElementById('f').src='/frame.png?'+Date.now();
   const st=await (await fetch('/status')).json();
@@ -165,10 +252,11 @@ def run_http(port, seconds):
     import json
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    bvh, mesh, s8 = build_scene()
-    state = {"azimuth": 0.0, "elevation": 0.0}
+    sc = build_scene_graph()
+    node_names = ["box", "ball_a", "ball_b"]
+    state = {"azimuth": 0.0, "elevation": 0.0, "cs": sc.committed}
     r = ProgressiveRenderer(
-        make_render_pass(bvh, mesh, s8, state), max_passes=128
+        make_render_pass_sg(sc, state), max_passes=128
     ).start()
 
     class H(BaseHTTPRequestHandler):
@@ -197,11 +285,29 @@ def run_http(port, seconds):
                     "elevation": state.get("elevation", 0.0),
                 }).encode()
                 self._send(200, "application/json", body)
+            elif self.path.startswith("/nodes"):
+                self._send(200, "application/json",
+                           json.dumps(node_names).encode())
             else:
                 self._send(200, "text/html", PAGE)
 
         def do_POST(self):
-            if self.path == "/drag":
+            if self.path == "/node":
+                # the gizmo edit path: translate a named node, re-commit
+                # (cached BVHs — matrices only), restart accumulation
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    d = json.loads(self.rfile.read(n) or b"{}")
+                    node = sc.find_node(str(d.get("name", "")))
+                    if node is not None and node.mesh is not None:
+                        node.translate(float(d.get("dx", 0)),
+                                       float(d.get("dy", 0)),
+                                       float(d.get("dz", 0)))
+                        state["cs"] = sc.commit()
+                        r.request_render()
+                except (ValueError, TypeError):
+                    pass
+            elif self.path == "/drag":
                 n = int(self.headers.get("Content-Length", 0))
                 try:
                     d = json.loads(self.rfile.read(n) or b"{}")
@@ -235,6 +341,11 @@ def run_http(port, seconds):
 
 
 def main():
+    if os.environ.get("NANORT_VIEWER_CPU") == "1":
+        # the axon sitecustomize overrides JAX_PLATFORMS; config wins
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     args = sys.argv[1:]
     if args and args[0] == "--http":
         port = int(args[1]) if len(args) > 1 else 8000

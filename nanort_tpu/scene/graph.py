@@ -63,6 +63,18 @@ class Node:
         self.children.append(node)
         return node
 
+    def set_local_xform(self, xform):
+        """Replace this node's local transform (the reference's gizmo
+        edit path: nanosg/main.cc ImGuizmo writes the node matrix, then
+        Node::Update recomposes on the next Commit, nanosg.h:409-443).
+        Call ``Scene.commit()`` afterwards — with the per-mesh BVH cache
+        a transform-only re-commit skips every rebuild."""
+        self.local_xform = np.asarray(xform, np.float64)
+
+    def translate(self, dx=0.0, dy=0.0, dz=0.0):
+        """Compose a translation onto the local transform (gizmo move)."""
+        self.local_xform = mat.translate((dx, dy, dz)) @ self.local_xform
+
 
 class SceneHits(NamedTuple):
     """Two-level hit record (reference nanosg::Intersection, nanosg.h:
@@ -108,6 +120,12 @@ class Scene:
         self.root = Node("<root>")
         self._committed: CommittedScene | None = None
         self._flat_nodes: list[tuple[Node, np.ndarray]] = []
+        # per-mesh build cache (reference semantics: a node's BVH is
+        # built lazily ONCE, nanosg.h:409-411; transform edits only
+        # recompose matrices). Keyed by mesh identity + build options;
+        # holds the mesh ref so a recycled id() can never alias.
+        self._build_cache: dict = {}
+        self._pack_cache: tuple | None = None
 
     def add_node(self, node: Node):
         self.root.add_child(node)
@@ -165,7 +183,14 @@ class Scene:
         for m in unique:
             v = np.asarray(m.vertices, np.float32)
             f = np.asarray(m.faces, np.int64)
-            bvh, _ = build_triangle_bvh(m, build_options)
+            # build-once cache: a transform-only re-commit (interactive
+            # gizmo edits) must not rebuild unchanged meshes
+            hit = self._build_cache.get(id(m))
+            if hit is not None and hit[0] is m and hit[1] == build_options:
+                bvh = hit[2]
+            else:
+                bvh, _ = build_triangle_bvh(m, build_options)
+                self._build_cache[id(m)] = (m, build_options, bvh)
             built.append((bvh, v, np.asarray(m.faces)))
             mesh_face_off.append(f_off)
             cat_v.append(v)
@@ -176,18 +201,34 @@ class Scene:
                 cat_n.append(None)
             v_off += v.shape[0]
             f_off += f.shape[0]
-        packed, mesh_roots = pack_scene_multi(built)
 
-        has_normals = any(n is not None for n in cat_n)
-        if has_normals:
-            cat_n = [
-                n if n is not None
-                else np.zeros((fc.shape[0], 3, 3), np.float32)
-                for n, fc in zip(cat_n, cat_f)
-            ]
-            normals = jnp.asarray(np.concatenate(cat_n))
+        # pack-once cache: the concatenated device tables depend only on
+        # the unique-mesh list (+normals), not on instance transforms
+        pack_key = tuple(id(m) for m in unique)
+        if mesh_normals:
+            pack_key = None  # caller-supplied normals: don't cache
+        pc = self._pack_cache
+        if pack_key is not None and pc is not None and pc[0] == pack_key:
+            packed, mesh_roots, vertices_d, faces_d, normals = pc[1]
         else:
-            normals = None
+            packed, mesh_roots = pack_scene_multi(built)
+            has_normals = any(n is not None for n in cat_n)
+            if has_normals:
+                cat_nf = [
+                    n if n is not None
+                    else np.zeros((fc.shape[0], 3, 3), np.float32)
+                    for n, fc in zip(cat_n, cat_f)
+                ]
+                normals = jnp.asarray(np.concatenate(cat_nf))
+            else:
+                normals = None
+            vertices_d = jnp.asarray(np.concatenate(cat_v))
+            faces_d = jnp.asarray(np.concatenate(cat_f), jnp.int32)
+            if pack_key is not None:
+                self._pack_cache = (
+                    pack_key,
+                    (packed, mesh_roots, vertices_d, faces_d, normals),
+                )
 
         xf, ixf, ixf33, it33, wlo, whi, roots, foffs = (
             [], [], [], [], [], [], [], []
@@ -215,8 +256,8 @@ class Scene:
             inv_transpose33=jnp.asarray(np.stack(it33), jnp.float32),
             world_bmin=jnp.asarray(np.stack(wlo), jnp.float32),
             world_bmax=jnp.asarray(np.stack(whi), jnp.float32),
-            vertices=jnp.asarray(np.concatenate(cat_v)),
-            faces=jnp.asarray(np.concatenate(cat_f), jnp.int32),
+            vertices=vertices_d,
+            faces=faces_d,
             face_offset=jnp.asarray(np.asarray(foffs, np.int32)),
             normals=normals,
         )
