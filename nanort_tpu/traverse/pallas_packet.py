@@ -97,6 +97,7 @@ def _kernel_body(
     fr_pop_n: int = 2,
     refit: bool = False,
     refit_exact: bool = False,
+    oracle_t: bool = False,
     nodes_hi_ref=None,
     leafs_hi_ref=None,
     rleafs_ref=None,
@@ -159,6 +160,16 @@ def _kernel_body(
     dz = jnp.where(okr, dz, 0.0)
     min_t = jnp.where(okr, min_t, jnp.float32(np.inf))
     max_t = jnp.where(okr, max_t, jnp.float32(np.inf))
+    if oracle_t:
+        # decomposition instrument (tools/exp_r5_decomp.py): start every
+        # ray's t bound at a PRECOMPUTED final t (bitcast through the
+        # skip tile, which is mutually exclusive with skip filtering).
+        # The traversal then runs with converged-bound visit counts;
+        # together with debug_counts this separates node-phase from
+        # leaf-phase cost in the shipped kernel. Not a user mode.
+        max_t = jnp.minimum(
+            max_t, jax.lax.bitcast_convert_type(skip_ref[:], jnp.float32)
+        )
 
     eps = f32(np.finfo(np.float32).eps)
     inf = f32(np.inf)
@@ -1634,6 +1645,7 @@ def _make_kernel(
     fr_pop_n: int = 2,
     refit: bool = False,
     refit_exact: bool = False,
+    oracle_t: bool = False,
     interleave: int = 1,
     interpret: bool = False,
 ):
@@ -1711,6 +1723,7 @@ def _make_kernel(
         fr_pop_n=fr_pop_n,
         refit=refit,
         refit_exact=refit_exact,
+        oracle_t=oracle_t,
         n_node_lo=node_split,
         n_leaf_lo=leaf_split,
     )
@@ -1914,6 +1927,7 @@ def traverse_bvh8(
     interpret: bool = False,
     _flag_zero_edges: bool = False,
     _stack_slots: int | None = None,
+    _oracle_t=None,
 ) -> Hits:
     """Trace rays against a VMEM-resident BVH8 scene (fp32).
 
@@ -2039,7 +2053,7 @@ def traverse_bvh8(
     if interleave > 1 and (
         hbm_nodes or hbm_leafs or refit_inkernel or debug_counts
         or _flag_zero_edges or node_split or leaf_split
-        or packet_roots is not None
+        or packet_roots is not None or _oracle_t is not None
         or frustum not in ("auto", False)
     ):
         # the K-way body covers the benchmark-class configs only
@@ -2076,7 +2090,19 @@ def traverse_bvh8(
     static_skip = isinstance(options.skip_prim_id, int) and (
         options.skip_prim_id != INVALID_PRIM_ID
     )
-    if use_skip:
+    if _oracle_t is not None:
+        # decomposition instrument (see _kernel_body oracle_t): the
+        # per-ray final-t array rides the skip tile as raw bits
+        if use_skip or static_skip:
+            raise ValueError("_oracle_t is mutually exclusive with "
+                             "skip_prim_id")
+        skip = prep(
+            jax.lax.bitcast_convert_type(
+                jnp.asarray(_oracle_t, jnp.float32).reshape(-1), jnp.int32
+            ),
+            0,
+        )
+    elif use_skip:
         skip = prep(
             jnp.asarray(skip_prim_id).reshape(-1).astype(jnp.int32),
             -1,
@@ -2097,13 +2123,21 @@ def traverse_bvh8(
         # the SAME kernel on a 1M-tri scene faults regardless of SMEM
         # stack slots 208..1024, watertight or woop, so it is neither a
         # stack overflow nor allocation size — likely a backend limit
-        # tied to node-table size x in-flight fetches). 2 is also the
-        # measured optimum at benchmark scale — clamp (pop_n is a pure
-        # perf knob, results are identical at any value).
-        # NANORT_EXPERIMENTAL_UNCLAMP=1 bypasses both clamps for
-        # backend debugging.
-        warnings.warn("pop_n > 2 faults the v5e backend; clamping to 2")
-        pop_n = 2
+        # tied to node-table size x in-flight fetches; mechanism probe:
+        # tools/experiments/v5e_popn_fault.md). A fault takes the TPU
+        # worker down for ~2 min, so this raises instead of clamping
+        # (VERDICT r4 #8); 2 is also the measured optimum at benchmark
+        # scale, and results are identical at any pop_n (pure perf
+        # knob). NANORT_EXPERIMENTAL_UNCLAMP=1 bypasses for backend
+        # debugging on expendable workers.
+        raise ValueError(
+            "pop_n > 2 faults the v5e TPU worker on large (~1M-tri) "
+            "scenes (~2 min recovery; see "
+            "tools/experiments/v5e_popn_fault.md). Use pop_n<=2 (the "
+            "measured optimum — records are identical at any pop_n), "
+            "or set NANORT_EXPERIMENTAL_UNCLAMP=1 to probe the fault "
+            "on an expendable worker."
+        )
     if lq_cap > 2 and not unclamp and not hbm_leafs:
         # The r2 "lq_cap > 2 faults" in HBM modes were an undersized DMA
         # scratch: one node_step can queue lq_cap-1 + width*pop_n leaf
@@ -2111,9 +2145,16 @@ def traverse_bvh8(
         # past 15 were OOB DMA targets (r3 fix: exact worst-case sizing;
         # lq_cap 4/8/16 verified fault-free on the 10M HBM scene, perf
         # flat — the 10M path is leaf-compute bound, not DMA bound).
-        # VMEM-mode lq_cap > 2 is clamped pending its own fault probe.
-        warnings.warn("lq_cap > 2 unverified for VMEM scenes; clamping")
-        lq_cap = 2
+        # VMEM-mode lq_cap > 2 raises pending its own fault probe
+        # (tools/experiments/v5e_popn_fault.md): a worker fault costs
+        # ~2 min, too sharp for a silent knob.
+        raise ValueError(
+            "lq_cap > 2 is unverified for VMEM-resident scenes and the "
+            "fault class it risks takes the TPU worker down for ~2 min "
+            "(tools/experiments/v5e_popn_fault.md). Use lq_cap<=2 "
+            "(lq_cap=1 is the measured optimum), or set "
+            "NANORT_EXPERIMENTAL_UNCLAMP=1 on an expendable worker."
+        )
     # frustum: replace the per-ray node-phase slab vote with a
     # conservative per-packet interval test run on the scalar unit (the
     # per-ray vote is OR-reduced to one bit anyway). Closest-hit only:
@@ -2226,6 +2267,7 @@ def traverse_bvh8(
         frustum_pop_n,
         refit_inkernel,
         refit_exact,
+        oracle_t=_oracle_t is not None,
         interleave=interleave,
         # NOTE: interpret=True nominally lets CPU cover this kernel, but
         # the Pallas interpreter is impractically slow on it (a 256-ray
@@ -2408,6 +2450,99 @@ def traverse_bvh8_exact(
         (-1,) + full.shape[len(bs):]
     ).at[idx].set(part).reshape(full.shape)
     return jax.tree_util.tree_map(merge, hits, fixed)
+
+
+def traverse_bvh8_exact_fused(
+    scene: BVH8Scene,
+    rays: Rays,
+    options: BVHTraceOptions = BVHTraceOptions(),
+    skip_prim_id=None,
+    sub: int = DEF_SUB,
+    vmem_mb: int = 116,
+    specialize=None,
+    fix_rows: int = 2048,
+    fix_sub: int = 16,
+    pop_n: int = 2,
+    frustum="auto",
+) -> tuple[Hits, jax.Array]:
+    """Exact-edge twopass with the retrace OUT of the Pallas kernel —
+    one fully-jittable XLA graph, no host round trip.
+
+    Why: the shipped ``exact_mode="twopass"`` carries the retrace as a
+    SECOND copy of the traversal loop inside the kernel, and the mere
+    presence of that body costs ~3% (VREG pressure/scheduling: 146.2 vs
+    150.8 Mrays/s flag-only, tools/logs/exp_r5_exact.json). Here pass 1
+    runs the flag-only kernel (exact recompute off, per-ray zero-edge
+    flags on), then an in-graph fixed-capacity gather retraces ONLY the
+    flagged 128-ray rows (typically ~300 of 524K on the headline batch)
+    through the exact-``single`` kernel and scatters their records back.
+    Semantics match nanort.h:1093-1107 end to end, like the in-kernel
+    twopass; equal-t ties can resolve differently (packet regrouping
+    changes traversal order — legal per the repo-wide tie contract).
+
+    Returns ``(hits, overflow)`` where ``overflow`` is a device scalar
+    bool: True iff more than ``fix_rows`` rows flagged, i.e. the fixup
+    capacity was exceeded and flagged rays beyond it kept their fast-
+    pass records. Callers wanting a hard guarantee check it once per
+    workload shape (bench.py does) and re-run with a bigger ``fix_rows``
+    or ``exact_mode="twopass"``; typical coherent batches flag ~0.06%
+    of rows, so the default capacity has ~7x headroom.
+    """
+    import dataclasses
+
+    if not options.exact_edge_fallback:
+        raise ValueError("exact_fused requires exact_edge_fallback=True")
+    opt_fast = dataclasses.replace(options, exact_edge_fallback=False)
+    hits, zflag = traverse_bvh8(
+        scene, rays, opt_fast, skip_prim_id, sub, vmem_mb,
+        specialize=specialize, pop_n=pop_n, frustum=frustum,
+        _flag_zero_edges=True,
+    )
+    zf = zflag.reshape(-1).astype(jnp.int32)
+    R = zf.shape[0]
+    n_rows = -(-R // LANES)
+    zf = jnp.pad(zf, (0, n_rows * LANES - R))
+    row_flag = jnp.max(zf.reshape(n_rows, LANES), axis=1)
+    fix_rows = max(fix_sub, -(-fix_rows // fix_sub) * fix_sub)
+    n_flagged = jnp.sum((row_flag > 0).astype(jnp.int32))
+    overflow = n_flagged > fix_rows
+    (idx_rows,) = jnp.nonzero(row_flag, size=fix_rows, fill_value=0)
+    ray_idx = (
+        idx_rows[:, None] * LANES
+        + jnp.arange(LANES, dtype=idx_rows.dtype)[None, :]
+    ).reshape(-1)
+    ray_idx = jnp.minimum(ray_idx, R - 1)  # padded tail rows clamp
+
+    bs = rays.batch_shape
+    take = lambda x: jnp.take(
+        x.reshape((-1,) + x.shape[len(bs):]), ray_idx, axis=0
+    )
+    sub_rays = jax.tree_util.tree_map(take, rays)
+    sub_skip = skip_prim_id
+    if skip_prim_id is not None and not isinstance(skip_prim_id, int):
+        sub_skip = jnp.take(
+            jnp.asarray(skip_prim_id).reshape(-1), ray_idx
+        )
+    spec_fix = None
+    if specialize is not None:
+        # kz/shared-origin survive any subset; uniform_sign is a
+        # per-packet octant claim that row regrouping breaks — drop it
+        spec_fix = (tuple(specialize) + (False,))[:2]
+    fixed = traverse_bvh8(
+        scene, sub_rays, options, sub_skip, fix_sub, vmem_mb,
+        specialize=spec_fix, exact_mode="single",
+    )
+    # nonzero() pads with row 0: only scatter rows that really flagged
+    # (duplicate indices then all carry row 0's ORIGINAL record — equal
+    # values, so scatter order can't matter)
+    valid = jnp.repeat(row_flag[idx_rows] > 0, LANES)
+
+    def merge(full, fx):
+        flat = full.reshape((-1,) + full.shape[len(bs):])
+        keep = jnp.where(valid, fx, jnp.take(flat, ray_idx, axis=0))
+        return flat.at[ray_idx].set(keep).reshape(full.shape)
+
+    return jax.tree_util.tree_map(merge, hits, fixed), overflow
 
 
 def refit_hits_watertight(mesh, rays: Rays, hits: Hits,
