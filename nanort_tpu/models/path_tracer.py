@@ -495,7 +495,16 @@ def render_path_traced(
     (a small azimuth bias); the default picks the first divisor of
     spp in {4, 8, 5, 3, 2, 1} — 4 wedges measured best on config B
     (az4 1.92 s vs az8 1.97 s vs az1 2.23 s, exp_r4_ptb2). Pass 1 to
-    disable."""
+    disable.
+
+    Compile caching: the fused kernels trace seed/spp/max_bounces
+    through an SMEM meta row (one compiled kernel covers every value),
+    BUT ``azimuth_strata`` is a static compile key and its default is
+    derived from spp — so a warmup call at a different spp can pick a
+    different strata count and compile a SECOND kernel (an spp=1
+    warmup before an spp=100 run cost the r4 matrix 4.5 s of
+    recompile). Warm up at the production spp, or pin
+    ``azimuth_strata`` explicitly across calls."""
     if azimuth_strata is None:
         azimuth_strata = next(
             n for n in (4, 8, 5, 3, 2, 1) if spp % n == 0)
