@@ -239,6 +239,44 @@ def main():
              samples_per_s=round(512 * 512 * spp / dur / 1e6, 2),
              first_incl_compile_s=round(first, 1))
 
+    # ---- mid-scale PT: ~100K-tri scene through the same fused BVH
+    # route (VERDICT r4 #6: measure between the 974-face protocol scene
+    # and PT_FUSED_BVH_MAX_TRIS, where the XLA megabatch used to
+    # cliff at ~43.5 s) ----
+    if "pt_midscale" not in SKIP:
+        from nanort_tpu.io.procedural import make_cornell_dense_pt_scene
+        from nanort_tpu.models.path_tracer import (
+            make_pt_scene,
+            render_path_traced,
+        )
+
+        spp_m = int(os.environ.get("NANORT_MATRIX_SPP", 100))
+        sv_m, sf_m, mids_m, mats_m = make_cornell_dense_pt_scene(100_000)
+        pts_m = make_pt_scene(sv_m, sf_m, mids_m, mats_m, engine="pallas")
+        cam_m = look_at(eye=(0, 0.0, 2.6), center=(0, 0, 0),
+                        width=512, height=512, fov=45.0)
+        rays_m = pinhole_rays(cam_m)
+        key_m = jax.random.PRNGKey(3)
+
+        def run_m(n):
+            img = render_path_traced(pts_m, rays_m, key_m, spp=n,
+                                     max_bounces=10)
+            return readback(img.mean())
+
+        t0 = time.perf_counter()
+        run_m(spp_m)  # warm at FULL spp (see config_b note)
+        first_m = time.perf_counter() - t0
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_m(spp_m)
+            ts.append(time.perf_counter() - t0)
+        dur_m = min(ts)
+        emit("path_tracer_midscale_100k", dur_m, "s", spp=spp_m,
+             faces=int(np.asarray(sf_m).shape[0]),
+             samples_per_s=round(512 * 512 * spp_m / dur_m / 1e6, 2),
+             first_incl_compile_s=round(first_m, 1))
+
     # ---- incoherent: fully-random rays, treelet-binned engine ----
     if "incoherent" not in SKIP:
         from nanort_tpu.traverse.treelet import (

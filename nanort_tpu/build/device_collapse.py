@@ -242,12 +242,13 @@ def _phase_a_topo(vertices, faces, n: int, max_leaf: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n", "max_leaf", "K"),
+    jax.jit, static_argnames=("n", "max_leaf", "K", "merge_leaves"),
     donate_argnums=(1, 2, 3, 5, 6, 7, 8, 9, 10, 11),
 )
 def _phase_a_records(order, first, last, split, scene_lo,
                      lf_lo, lf_hi, rf_lo, rf_hi, node_lo, node_hi,
-                     axis_i, n: int, max_leaf: int, K: int):
+                     axis_i, n: int, max_leaf: int, K: int,
+                     merge_leaves: bool = False):
     """Phase A, stage 2: child records, sorted by (wide parent, slot
     order). Topology/box inputs are donated — their buffers recycle into
     the record banks.
@@ -351,6 +352,79 @@ def _phase_a_records(order, first, last, split, scene_lo,
 
     def cat(f):
         return jnp.concatenate([bank_i[f], bank_l[f], bank_r[f]])
+
+    if merge_leaves:
+        # ---- leaf merge (r4 sizing probe tools/exp_r4_leafmerge.py):
+        # collapsed leaves tile the morton-sorted prim range, so sorted
+        # by prim start they are range-adjacent; greedily merging
+        # neighbors of the SAME wide parent up to max_leaf removes rows
+        # (measured 8.9% at 1M tris) without touching tree shape above
+        # the leaves. Two odd-even (run-parity) contraction rounds
+        # reach sequential-greedy quality (probe round log).
+        from ..core.rowpack import permute_rows
+
+        nl2 = 2 * ni
+        l_par = jnp.concatenate([bank_l["par"], bank_r["par"]])
+        l_cnt = jnp.concatenate([bank_l["cnt"], bank_r["cnt"]])
+        l_a = jnp.concatenate([bank_l["a"], bank_r["a"]])
+        l_val = jnp.concatenate([bank_l["leaf"], bank_r["leaf"]])
+        l_lo = jnp.concatenate([bank_l["lo"], bank_r["lo"]])
+        l_hi = jnp.concatenate([bank_l["hi"], bank_r["hi"]])
+        iar2 = jnp.arange(nl2, dtype=i32)
+
+        def sort_leaves(key, par, cnt, a, val, lo, hi):
+            o = jnp.argsort(key).astype(i32)
+            s = permute_rows(
+                dict(par=par, cnt=cnt, a=a, val=val), o)
+            s.update(permute_rows(dict(lo=lo, hi=hi), o))
+            return s["par"], s["cnt"], s["a"], s["val"], s["lo"], s["hi"]
+
+        l_par, l_cnt, l_a, l_val, l_lo, l_hi = sort_leaves(
+            jnp.where(l_val == 1, l_a, _I32MAX),
+            l_par, l_cnt, l_a, l_val, l_lo, l_hi)
+        for _ in range(2):
+            nxt_par = jnp.roll(l_par, -1)
+            nxt_cnt = jnp.roll(l_cnt, -1)
+            nxt_val = jnp.roll(l_val, -1)
+            nxt_lo = jnp.roll(l_lo, -1, axis=0)
+            nxt_hi = jnp.roll(l_hi, -1, axis=0)
+            ok = ((l_val == 1) & (nxt_val == 1)
+                  & (l_par == nxt_par)
+                  & (l_cnt + nxt_cnt <= max_leaf))
+            ok = ok.at[-1].set(False)
+            # run parity: merge i with i+1 only at even offsets within
+            # each maximal ok-run (run first via cumulative max)
+            start = jnp.concatenate(
+                [jnp.ones((1,), bool), ~ok[:-1]])
+            run_first = jax.lax.cummax(
+                jnp.where(start, iar2, i32(-1)))
+            do = ok & ((iar2 - run_first) % 2 == 0)
+            absorbed = jnp.concatenate(
+                [jnp.zeros((1,), bool), do[:-1]])
+            l_cnt = jnp.where(do, l_cnt + nxt_cnt, l_cnt)
+            l_lo = jnp.where(do[:, None], jnp.minimum(l_lo, nxt_lo),
+                             l_lo)
+            l_hi = jnp.where(do[:, None], jnp.maximum(l_hi, nxt_hi),
+                             l_hi)
+            l_val = jnp.where(absorbed, i32(0), l_val)
+            # compact survivors back to adjacency for the next round
+            l_par, l_cnt, l_a, l_val, l_lo, l_hi = sort_leaves(
+                jnp.where(l_val == 1, iar2, _I32MAX),
+                l_par, l_cnt, l_a, l_val, l_lo, l_hi)
+        # recompute slot keys for merged boxes (axis of the wide
+        # parent, by output rank)
+        axis_by_rank = jnp.take(axis_i, worder)
+        pax_m = jnp.take(
+            axis_by_rank, jnp.clip(l_par, 0, ni - 1))
+        l_key = center_key(l_lo, l_hi, pax_m)
+        dead = l_val != 1
+        l_par = jnp.where(dead, _I32MAX, l_par)
+
+        bank_merge = dict(
+            par=l_par, key=l_key,
+            meta=jnp.zeros(nl2, i32), cnt=l_cnt, a=l_a,
+            leaf=l_val, lo=l_lo, hi=l_hi)
+        cat = lambda f: jnp.concatenate([bank_i[f], bank_merge[f]])
 
     rp, rk = cat("par"), cat("key")
     # lexsort by (parent, center key) as two stable argsorts + payload
@@ -607,6 +681,95 @@ def _phase_b(vertices, faces, order, sp, s_meta, s_cnt, s_a, s_leaf,
     return nodes, leafs, None
 
 
+@functools.partial(jax.jit, static_argnames=("depth",))
+def _preorder_impl(nodes, leafs, leafs_woop, depth: int):
+    """DFS-preorder renumbering of finished width-16 tables, on device.
+
+    Pure relabeling — traversal visits the same nodes in the same order,
+    records are bit-identical (host-side proof: exp_r5_devorder,
+    prim/t diffs 0) — but a pop's child fetch address becomes usually
+    adjacent, like the host collapse's emission order: measured
+    129.8 -> 132.6 Mrays/s on the 1M-tri headline (exp_r5_devorder).
+    Pad rows (empty boxes, incl. the kernel's park row) keep their
+    positions; the root stays row 0.
+    """
+    i32 = jnp.int32
+    NW = nodes.shape[0]
+    NL = leafs.shape[0]
+    valid = nodes[:, 0:96:6] <= nodes[:, 3:96:6]  # (NW, 16) slot live
+    meta = nodes[:, 96:112].astype(i32)
+    is_int = valid & (meta >= 0)
+    is_leaf = valid & (meta < 0)
+    child = jnp.where(is_int, meta, 0)
+    rows16 = jnp.broadcast_to(
+        jnp.arange(NW, dtype=i32)[:, None], (NW, 16))
+
+    # reachability (real nodes; pads have no parents and no slots)
+    reach = jnp.zeros(NW, i32).at[
+        jnp.where(is_int, child, NW).reshape(-1)
+    ].set(i32(1), mode="drop").at[0].set(i32(1))
+
+    # subtree node counts, bottom-up fixpoint (depth iterations)
+    size = jnp.ones(NW, i32)
+    for _ in range(depth):
+        size = 1 + jnp.where(is_int, jnp.take(size, child), 0).sum(1)
+
+    # preorder ids, top-down fixpoint: child = parent + 1 + sizes of
+    # preceding INTERNAL siblings (leaf slots consume no node ids)
+    pre = jnp.zeros(NW, i32)
+    for _ in range(depth + 1):
+        csz = jnp.where(is_int, jnp.take(size, child), 0)
+        excl = jnp.cumsum(csz, axis=1) - csz
+        tgt = jnp.where(is_int, child, NW).reshape(-1)
+        pre = pre.at[tgt].set(
+            (pre[:, None] + 1 + excl).reshape(-1), mode="drop")
+    pad_rank = jnp.cumsum(1 - reach) - (1 - reach)
+    new_node = jnp.where(reach == 1, pre, reach.sum() + pad_rank)
+
+    # leaf rows in first-touch (preorder, slot-order) order
+    lrow = jnp.where(is_leaf, -meta - 1, 0)
+    lkey = jnp.where(
+        is_leaf, jnp.take(new_node, rows16) * 16
+        + jnp.arange(16, dtype=i32)[None, :], _I32MAX).reshape(-1)
+    lorder = jnp.argsort(lkey).astype(i32)  # leaf slots first
+    touched = jnp.zeros(NL, i32).at[
+        jnp.where(is_leaf, lrow, NL).reshape(-1)].set(
+        i32(1), mode="drop")
+    srow = jnp.take(lrow.reshape(-1), lorder)
+    skey = jnp.take(lkey, lorder)
+    # ranks = dense positions in lorder; invalid keys (sorted last)
+    # scatter to the drop slot, never a real row
+    new_leaf = jnp.zeros(NL, i32).at[
+        jnp.where(skey != _I32MAX, srow, NL)
+    ].set(jnp.arange(lkey.shape[0], dtype=i32), mode="drop")
+    # untouched pad rows append after the touched ones, order kept
+    new_leaf = jnp.where(
+        touched == 1, new_leaf,
+        touched.sum() + jnp.cumsum(1 - touched) - (1 - touched))
+
+    new_meta = jnp.where(is_int, jnp.take(new_node, child), meta)
+    new_meta = jnp.where(
+        is_leaf, -(jnp.take(new_leaf, lrow) + 1), new_meta)
+    nodes = nodes.at[:, 96:112].set(new_meta.astype(nodes.dtype))
+    nodes = jnp.zeros_like(nodes).at[new_node].set(nodes)
+    leafs = jnp.zeros_like(leafs).at[new_leaf].set(leafs)
+    if leafs_woop is not None:
+        leafs_woop = jnp.zeros_like(leafs_woop).at[new_leaf].set(
+            leafs_woop)
+    return nodes, leafs, leafs_woop
+
+
+def preorder_device(scene: BVH8Scene) -> BVH8Scene:
+    """Renumber a width-16 scene's tables into DFS preorder on device
+    (see _preorder_impl). No-op relabeling for traversal semantics."""
+    if getattr(scene, "width", 8) != 16:
+        raise ValueError("preorder_device supports width-16 tables")
+    nodes, leafs, woop = _preorder_impl(
+        scene.nodes, scene.leafs, scene.leafs_woop,
+        depth=int(scene.depth))
+    return scene._replace(nodes=nodes, leafs=leafs, leafs_woop=woop)
+
+
 def collapse_lbvh_device(
     vertices,
     faces,
@@ -616,6 +779,8 @@ def collapse_lbvh_device(
     sah_levels: int = 0,
     sah_bins: int = 16,
     sah_stop: int = 64,
+    merge_leaves: bool = True,
+    preorder: bool = True,
 ) -> BVH8Scene:
     """One-call device-side scene build: triangles in, packet-kernel
     BVH tables out, everything on the accelerator (two scalar count
@@ -625,7 +790,16 @@ def collapse_lbvh_device(
 
     ``woop=True`` also bakes the turbo intersector's unit-triangle
     table on device (``leafs_woop``, layout of build_woop_leafs), so
-    the full turbo path needs no host pass either."""
+    the full turbo path needs no host pass either.
+
+    ``merge_leaves``: greedily merge range-adjacent collapsed leaves of
+    the same wide parent up to ``max_leaf`` (two run-parity contraction
+    rounds; ~8.9% fewer leaf rows at 1M tris, exp_r4_leafmerge) —
+    tree shape above the leaves is unchanged. ``preorder``: renumber
+    the finished tables into DFS preorder (pure relabeling, records
+    bit-identical; +2% traced, exp_r5_devorder). Both default on —
+    together they attack the device-tree traversal tax at its two
+    measured sources (extra drains, scattered child fetch strides)."""
     if width not in (8, 16):
         raise ValueError(f"width must be 8 or 16: {width}")
     if not 1 <= max_leaf <= min(MAX_LEAF_TRIS, 15):
@@ -701,7 +875,8 @@ def collapse_lbvh_device(
     _memstat("phase_a_topo", topo)
     (order, sp, s_meta, s_cnt, s_a, s_leaf, leaf_rank, sboxes,
      node_axis, nw, n_rows, wide_depth) = _phase_a_records(
-        *topo, n=n, max_leaf=max_leaf, K=K)
+        *topo, n=n, max_leaf=max_leaf, K=K,
+        merge_leaves=bool(merge_leaves) and width == 16)
     _memstat("phase_a_records", sp)
     nw_i, nrows_i, depth_i = int(nw), int(n_rows), int(wide_depth)
     nw_pad = _next_pow2(nw_i + 1)  # +1: trailing pad node = park row
@@ -712,7 +887,11 @@ def collapse_lbvh_device(
         n=n, width=width, max_leaf=max_leaf,
         nw_pad=nw_pad, nrows_pad=nrows_pad, woop=woop)
     _memstat("phase_b", nodes)
-    return BVH8Scene(
+    scene = BVH8Scene(
         nodes=nodes, leafs=leafs, num_nodes=nw_i, num_leaf_rows=nrows_i,
         depth=depth_i, max_leaf=max_leaf, width=width,
         leafs_woop=leafs_woop)
+    if preorder and width == 16:
+        scene = preorder_device(scene)
+        _memstat("preorder", scene.nodes)
+    return scene

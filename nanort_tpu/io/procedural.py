@@ -171,3 +171,25 @@ def make_cornell_pt_scene(size: float = 2.0, light_scale: float = 0.4):
         dissolve=np.array([0, 0, 0, 0, 0, 1.0], np.float32),
     )
     return verts, faces, material_ids, materials
+
+
+def make_cornell_dense_pt_scene(n_tris_target: int = 100_000,
+                                size: float = 2.0):
+    """Mid-scale path-tracer scene: the Cornell PT box with a densely
+    tessellated white sphere replacing the interior boxes
+    (~n_tris_target total triangles). Exercises the fused BVH
+    megakernel between the 974-face protocol scene and
+    PT_FUSED_BVH_MAX_TRIS — the old XLA-megabatch cliff's territory."""
+    verts, faces, mids, mats = make_cornell_pt_scene(size)
+    n_box = 20  # the two interior boxes: 10 quads = 20 tris
+    faces = faces[:-n_box]
+    mids = mids[:-n_box]
+    sv, sf = make_subdivided_sphere_scene(
+        max(n_tris_target - faces.shape[0], 64))
+    s = size / 2
+    sv = sv * (0.45 * s)
+    sv[:, 1] -= 0.5 * s  # sit low in the box
+    verts2, faces2 = merge_meshes((verts, faces), (sv, sf))
+    mids2 = np.concatenate(
+        [mids, np.zeros(sf.shape[0], np.int32)])  # white diffuse
+    return verts2, faces2, np.asarray(mids2, np.int32), mats

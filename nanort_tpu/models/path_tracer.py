@@ -467,6 +467,7 @@ def render_path_traced(
     spp_batch: int | None = None,
     fused: bool | None = None,
     azimuth_strata: int | None = None,
+    spp_lanes: int | None = None,
 ):
     """Accumulate spp samples per camera ray; returns linear RGB with the
     camera-ray batch shape + (3,). (The reference's SPP loop,
@@ -541,9 +542,18 @@ def render_path_traced(
                 ).transpose(0, 2, 1, 3).reshape(-1)
                 perm = jnp.asarray(idx)
                 org, d = org[perm], d[perm]
+            if spp_lanes is None:
+                # sample-major packing (see render_fused_bvh): largest
+                # K that divides spp AND keeps the per-iteration wedge
+                # cycle covering all strata ((spp//K) % az == 0)
+                spp_lanes = next(
+                    (k for k in (25, 20, 16, 10, 8, 5, 4, 2) if
+                     spp % k == 0
+                     and (spp // k) % azimuth_strata == 0), 1)
             img = render_fused_bvh(scene, org, d, key, spp,
                                    max_bounces=max_bounces, sub=sub_b,
-                                   azimuth_strata=azimuth_strata)
+                                   azimuth_strata=azimuth_strata,
+                                   spp_lanes=spp_lanes)
             if perm is not None:
                 img = jnp.zeros_like(img).at[perm].set(img)
         return img.reshape(*bs, 3)

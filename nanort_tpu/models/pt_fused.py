@@ -512,6 +512,7 @@ _BVH_SUB = 16  # block sublanes: the traversal granule (one shared stack)
 
 
 def _pt_kernel_bvh(M, L, rr_start, trig, max_leaf, sub, az_strata,
+                   spp_lanes,
                    meta_ref, mat_ref, light_ref, nodes_ref, leafs_ref,
                    aux_ref, rays_ref, out_ref, stack_ref, leafq_ref):
     from ..traverse.fused_trace import make_tracer
@@ -557,7 +558,18 @@ def _pt_kernel_bvh(M, L, rr_start, trig, max_leaf, sub, az_strata,
         (px, py, pz, dx, dy, dz, cr, cg, cb, wr, wg, wb,
          alive_i, do_em_i) = st
         alive = alive_i != 0
-        base = seed + (s * (max_bounces + 1) + b) * 16
+        # spp_lanes > 1 = sample-major packing: the host replicated each
+        # pixel ray spp_lanes times along consecutive lanes, so the tile
+        # holds fewer PIXELS and each loop iteration s advances
+        # spp_lanes samples at once. The lane's true sample index seeds
+        # its RNG stream (per-lane base); the azimuth wedge below stays
+        # per-ITERATION so a pixel's in-flight samples share origin AND
+        # bounce cone — the whole point is traversal coherence.
+        if spp_lanes > 1:
+            s_eff = s * spp_lanes + (ray_id % spp_lanes)
+        else:
+            s_eff = s
+        base = seed + (s_eff * (max_bounces + 1) + b) * 16
 
         rr_apply = b > rr_start
         u_rr = _uniform(ray_id, base + 0)
@@ -609,7 +621,8 @@ def _pt_kernel_bvh(M, L, rr_start, trig, max_leaf, sub, az_strata,
             0, max_bounces, lambda b, c: bounce(b, s, c), st)
         return (ar + st[6], ag + st[7], ab + st[8])
 
-    ar, ag, ab = jax.lax.fori_loop(0, spp, sample, (zeros, zeros, zeros))
+    ar, ag, ab = jax.lax.fori_loop(0, spp // spp_lanes, sample,
+                                   (zeros, zeros, zeros))
     out_ref[0, 0] = ar
     out_ref[1, 0] = ag
     out_ref[2, 0] = ab
@@ -617,16 +630,16 @@ def _pt_kernel_bvh(M, L, rr_start, trig, max_leaf, sub, az_strata,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_mats", "n_lights", "rr_start", "trig", "max_leaf", "depth", "sub",
-    "az_strata", "interpret"))
+    "az_strata", "spp_lanes", "interpret"))
 def _render_fused_bvh_impl(mat, light, nodes, leafs, aux, rays6, seed,
                            n_mats, n_lights, spp, max_bounces, rr_start,
                            trig, max_leaf, depth, sub, az_strata,
-                           interpret):
+                           spp_lanes, interpret):
     from ..traverse.fused_trace import fused_scratch_shapes
 
     NB = rays6.shape[1]
     kern = functools.partial(_pt_kernel_bvh, n_mats, n_lights, rr_start,
-                             trig, max_leaf, sub, az_strata)
+                             trig, max_leaf, sub, az_strata, spp_lanes)
     meta = jnp.stack([jnp.asarray(seed, jnp.int32),
                       jnp.asarray(spp, jnp.int32),
                       jnp.asarray(max_bounces, jnp.int32)])
@@ -689,10 +702,20 @@ def fused_bvh_eligible(scene) -> bool:
 
 def render_fused_bvh(scene, org, dirs, key, spp, max_bounces=8,
                      rr_start=3, trig="native", sub=_BVH_SUB,
-                     azimuth_strata=1, interpret=None):
+                     azimuth_strata=1, spp_lanes=1, interpret=None):
     """BVH-traced fused render: radiance means (R, 3), like
     ``render_fused`` but traversing scene.scene8 in-kernel instead of
-    brute-forcing the triangle list."""
+    brute-forcing the triangle list.
+
+    ``spp_lanes`` (sample-major packing): replicate each pixel across
+    that many consecutive lanes and run the in-kernel sample loop
+    ``spp // spp_lanes`` times. A tile then holds fewer pixels, and a
+    pixel's in-flight samples share their primary hit AND (via the
+    per-iteration azimuth wedge) a diffuse bounce cone — the in-kernel
+    tracer's shared-stack union shrinks the same way the AO sample-major
+    recipe's does. Requires ``spp % spp_lanes == 0``; lane memory scales
+    by spp_lanes. For an unbiased azimuth marginal keep
+    ``(spp // spp_lanes) % azimuth_strata == 0``."""
     if not fused_bvh_eligible(scene):
         raise ValueError(
             f"scene not eligible for the fused BVH kernel "
@@ -708,10 +731,17 @@ def render_fused_bvh(scene, org, dirs, key, spp, max_bounces=8,
     org = jnp.asarray(org, jnp.float32).reshape(-1, 3)
     dirs = jnp.asarray(dirs, jnp.float32).reshape(-1, 3)
     R = org.shape[0]
+    K = int(spp_lanes)
+    if K > 1:
+        if spp % K:
+            raise ValueError(f"spp_lanes={K} must divide spp={spp}")
+        org = jnp.repeat(org, K, axis=0)
+        dirs = jnp.repeat(dirs, K, axis=0)
+    RL = R * K
     blk = sub * _BLK_LANE
-    NB = -(-R // blk)
-    pad = NB * blk - R
-    rays6 = jnp.concatenate([org.T, dirs.T], axis=0)  # (6, R)
+    NB = -(-RL // blk)
+    pad = NB * blk - RL
+    rays6 = jnp.concatenate([org.T, dirs.T], axis=0)  # (6, RL)
     if pad:
         rays6 = jnp.pad(rays6, ((0, 0), (0, pad)), mode="edge")
     rays6 = rays6.reshape(6, NB, sub, _BLK_LANE)
@@ -719,9 +749,11 @@ def render_fused_bvh(scene, org, dirs, key, spp, max_bounces=8,
         mat, light, nodes, leafs, aux, rays6, seed, n_mats, n_lights,
         int(spp), int(max_bounces), int(rr_start), trig,
         int(scene.scene8.max_leaf), int(scene.scene8.depth), int(sub),
-        int(azimuth_strata), bool(interpret))
-    color = out.reshape(3, NB * blk)[:, :R].T
-    return color / jnp.float32(spp)
+        int(azimuth_strata), K, bool(interpret))
+    color = out.reshape(3, NB * blk)[:, :RL]
+    if K > 1:
+        color = color.reshape(3, R, K).sum(axis=2)
+    return color.T / jnp.float32(spp)
 
 
 def fused_eligible(scene) -> bool:

@@ -160,3 +160,25 @@ def test_fused_bvh_matches_brute(cam_rays):
     assert same.mean() > 0.9, same.mean()
     rel = abs(img_v.mean() - img_b.mean()) / max(img_b.mean(), 1e-9)
     assert rel < 0.05, (img_v.mean(), img_b.mean())
+
+
+def test_fused_bvh_spp_lanes_statistical(cam_rays):
+    """Sample-major packing (spp_lanes=K) replicates pixels across lanes
+    and cuts the sample loop by K; per-lane RNG streams differ from the
+    K=1 layout by design, so images agree statistically, not bitwise."""
+    from nanort_tpu.models.pt_fused import render_fused_bvh
+
+    sv, sf, mids, mats = make_cornell_pt_scene(2.0)
+    scene = _attach_bvh_tables(make_pt_scene(sv, sf, mids, mats),
+                               sv, sf, mids)
+    org, d = cam_rays
+    img1 = np.asarray(
+        render_fused_bvh(scene, org, d, 7, 8, max_bounces=4))
+    imgk = np.asarray(
+        render_fused_bvh(scene, org, d, 7, 8, max_bounces=4,
+                         spp_lanes=4))
+    assert not np.isnan(imgk).any()
+    rel = abs(imgk.mean() - img1.mean()) / max(img1.mean(), 1e-9)
+    assert rel < 0.15, (imgk.mean(), img1.mean())
+    with pytest.raises(ValueError):
+        render_fused_bvh(scene, org, d, 7, 7, spp_lanes=4)
