@@ -89,12 +89,22 @@ def _node_children(row):
         )
 
 
-def make_treelets(scene: BVH8Scene, target: int = 64):
+def make_treelets(scene: BVH8Scene, target: int = 64,
+                  flat: bool = False):
     """Greedy frontier expansion: repeatedly split the largest-area
     frontier node until ``target`` treelets. Internal children join the
     frontier directly; leaf children become treelets rooted at synthetic
     single-child node rows appended to the table (inserted before the
     dummy park row so existing ids are untouched).
+
+    ``flat=True`` replaces every treelet's BVH8 subtree with a synthetic
+    SHALLOW tree over its leaf rows (fan-8 levels of consecutive-row
+    groups): a ~220-row treelet costs ~5 pops to fully drain instead of
+    ~57 subtree pops, and each row drains at most once — the right shape
+    when packets drain most of the treelet anyway (fully-random rays
+    measured 268 drains/packet on ~222-row treelets,
+    tools/logs/exp_r5_inco.log). Same records: leaf children keep their
+    (row, cnt) and exact child AABBs, boxes only cull.
 
     Returns (Treelets, scene_with_synthetic_rows)."""
     nodes = np.asarray(scene.nodes)
@@ -140,12 +150,71 @@ def make_treelets(scene: BVH8Scene, target: int = 64):
                 cnt = int(row[72 + c])
                 frontier.append((None, box, (-meta - 1, cnt)))
 
-    # synthesize rows for leaf treelets
+    # synthesize rows for leaf treelets (and, with flat=True, shallow
+    # replacement trees for every internal-rooted treelet)
     synth = []
     roots = []
+
+    def _empty_row():
+        r = np.zeros(128, np.float32)
+        for k in range(3):
+            r[k:64:8] = EMPTY_BIG
+            r[3 + k:64:8] = -EMPTY_BIG
+        return r
+
+    def _emit_row(grp):
+        """One synthetic BVH8 row over <= 8 children
+        (lo, hi, meta, cnt, is_leaf); returns its node id."""
+        r = _empty_row()
+        ctr = np.stack([(lo + hi) * 0.5 for lo, hi, _, _, _ in grp])
+        axis = int(np.argmax(np.ptp(ctr, axis=0))) if len(grp) > 1 else 0
+        for c, (lo, hi, meta, cnt, is_leaf) in enumerate(grp):
+            r[8 * c: 8 * c + 3] = lo
+            r[8 * c + 3: 8 * c + 6] = hi
+            r[64 + c] = meta
+            r[72 + c] = float(cnt)
+        # order axis rides the child-0 count lane (cnt + 16 * axis),
+        # matching the collapse emitters
+        r[72] = float(int(r[72]) + 16 * axis)
+        rid = n_real + len(synth)
+        synth.append(r)
+        return rid
+
+    def _flat_subtree(nid):
+        """Replace nid's subtree with fan-8 levels over its leaf rows."""
+        kids = []
+        stack = [nid]
+        while stack:
+            i = stack.pop()
+            row = nodes[i]
+            for c in range(8):
+                if row[8 * c] >= EMPTY_BIG:
+                    continue
+                meta = row[64 + c]
+                if meta >= 0:
+                    stack.append(int(meta))
+                else:
+                    cl = int(row[72 + c])
+                    cnt = (cl & 15) if c == 0 else cl
+                    kids.append((row[8 * c: 8 * c + 3].copy(),
+                                 row[8 * c + 3: 8 * c + 6].copy(),
+                                 float(meta), cnt, True))
+        kids.sort(key=lambda k: -k[2])  # ascending leaf row id
+        level = kids
+        while len(level) > 8:
+            nxt = []
+            for i in range(0, len(level), 8):
+                grp = level[i:i + 8]
+                rid = _emit_row(grp)
+                lo = np.min([g[0] for g in grp], axis=0)
+                hi = np.max([g[1] for g in grp], axis=0)
+                nxt.append((lo, hi, float(rid), 0, False))
+            level = nxt
+        return _emit_row(level)
+
     for nid, box, leaf in frontier:
         if leaf is None:
-            roots.append(nid)
+            roots.append(_flat_subtree(nid) if flat else nid)
             continue
         leaf_row, cnt = leaf
         r = np.zeros(128, np.float32)
@@ -327,19 +396,41 @@ def _bin_pass(org, dirs, min_t, cur_best_t, tid_k, t_entry_k, tl_roots,
 
 
 @functools.partial(jax.jit, static_argnames=("T", "C", "packet"))
-def _pair_order(td, te, best_t, T, C, packet):
-    """Group the (R, C) candidate pair grid by treelet id.
-
-    Returns (order over the flattened grid with active pairs first
-    grouped by tid, grouped keys, per-treelet active counts, total
-    active count)."""
+def _pair_count(td, te, best_t, T, C, packet):
+    """Stage 1 of pair grouping: flat keys + per-treelet active counts
+    + the exclusive running index of each active pair (for stage-2
+    compaction). O(N) elementwise — no sort touches the full (R, C)
+    grid (the grid is ~7x the active count after round-1 pruning;
+    argsorting it cost 614 ms of the 3.9 s incoherent budget,
+    tools/logs/exp_r5_inco.log)."""
     act = (td < T) & (te <= best_t[:, None])
     key = jnp.where(act, td, T).astype(jnp.int32).reshape(-1)
-    order = jnp.argsort(key, stable=True).astype(jnp.int32)
-    key_s = jnp.take(key, order)
-    counts = jnp.bincount(key_s, length=T + 1)[:T].astype(jnp.int32)
+    live = key < T
+    dest = jnp.cumsum(live.astype(jnp.int32)) - 1
+    counts = jnp.bincount(key, length=T + 1)[:T].astype(jnp.int32)
     n_padded = jnp.sum(-(-counts // packet) * packet)  # exact slot need
-    return order, key_s, counts, jnp.sum(counts), n_padded
+    return key, dest, counts, jnp.sum(counts), n_padded
+
+
+@functools.partial(jax.jit, static_argnames=("T", "B"))
+def _pair_compact(key, dest, T, B):
+    """Stage 2: scatter the active pairs into a static ``B``-bucket,
+    then group by treelet id with one argsort over just the bucket
+    (compaction preserves grid order; the stable sort then yields the
+    same live-pair order as sorting the full grid did).
+
+    Returns (order: grid indices of the bucket's pairs, grouped keys).
+    Pad entries carry key == T and grid index == len(key) (the callers'
+    ``live = key < T`` masking keeps them inert)."""
+    n = key.shape[0]
+    live = key < T
+    idx = jnp.full((B,), n, jnp.int32)
+    idx = idx.at[jnp.where(live, dest, B)].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    key_pad = jnp.concatenate([key, jnp.full((1,), T, key.dtype)])
+    key_c = jnp.take(key_pad, jnp.minimum(idx, n))
+    perm = jnp.argsort(key_c, stable=True).astype(jnp.int32)
+    return jnp.take(idx, perm), jnp.take(key_c, perm)
 
 
 @functools.partial(
@@ -512,7 +603,7 @@ def traverse_bvh8_binned(
         C = td.shape[1]
         if C == 0:
             return bst
-        order, key_s, counts, n_act, n_padded = _pair_order(
+        key, dest, counts, n_act, n_padded = _pair_count(
             td, te, bst.t, T, C, packet
         )
         n_act = int(n_act)  # one host sync per sweep
@@ -522,9 +613,13 @@ def traverse_bvh8_binned(
         # (a worst-case T*(packet-1) pad estimate doubled the gather
         # traffic at large T)
         n_slots = _next_bucket(int(n_padded) + packet, packet)
-        j_cap = min(int(td.shape[0]) * C, n_slots)
-        order_j = jax.lax.slice(order, (0,), (j_cap,))
-        key_j = jax.lax.slice(key_s, (0,), (j_cap,))
+        # compaction bucket: every live pair fits (B >= n_act), so the
+        # j_cap slice below can never drop one
+        B = _next_bucket(n_act, packet)
+        order_c, key_c = _pair_compact(key, dest, T, B)
+        j_cap = min(B, n_slots)
+        order_j = jax.lax.slice(order_c, (0,), (j_cap,))
+        key_j = jax.lax.slice(key_c, (0,), (j_cap,))
         slot_comps, pkt_tid, slot_src = _pair_fill(
             order_j, key_j, counts, cps, bst.t, T, C, packet, n_slots
         )

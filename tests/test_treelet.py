@@ -63,6 +63,78 @@ def test_treelets_cover_leaves_exactly_once():
         assert sorted(got) == want
 
 
+def test_flat_treelets_cover_leaves_exactly_once():
+    """flat=True replaces each treelet subtree with shallow synthetic
+    levels; the reachable (leaf_row, cnt) multiset must be unchanged
+    (cnt compared with the child-0 axis fold masked off)."""
+    _, _, s8 = _scene8()
+
+    def masked(nodes, root):
+        out = []
+        stack = [root]
+        while stack:
+            nid = stack.pop()
+            row = nodes[nid]
+            for c in range(8):
+                if row[8 * c] >= EMPTY_BIG:
+                    continue
+                meta = int(row[64 + c])
+                cnt = int(row[72 + c]) & 15 if c == 0 else int(row[72 + c])
+                if meta >= 0:
+                    stack.append(meta)
+                else:
+                    out.append((-meta - 1, cnt))
+        return out
+
+    want = sorted(masked(np.asarray(s8.nodes), 0))
+    for target in (8, 32):
+        tl, aug = make_treelets(s8, target, flat=True)
+        nodes = np.asarray(aug.nodes)
+        got = []
+        depths = []
+        for r in np.asarray(tl.roots):
+            got.extend(masked(nodes, int(r)))
+            # flat trees are shallow: depth <= ceil(log8(rows)) + 1
+            d, stack = 0, [(int(r), 1)]
+            while stack:
+                nid, dep = stack.pop()
+                d = max(d, dep)
+                row = nodes[nid]
+                for c in range(8):
+                    if row[8 * c] < EMPTY_BIG and row[64 + c] >= 0:
+                        stack.append((int(row[64 + c]), dep + 1))
+            depths.append(d)
+        assert sorted(got) == want
+        assert max(depths) <= 3  # ~100 rows/treelet -> 2 fan-8 levels
+
+    # flat child AABBs must still contain their leaf rows' geometry:
+    # e2e equality below is the functional check
+    tl_n, aug_n = make_treelets(s8, 32)
+    from nanort_tpu.traverse import treelet as tl_mod
+    from nanort_tpu.traverse import pallas_packet as _pp
+    from nanort_tpu.core.ray import make_rays
+
+    rng = np.random.default_rng(5)
+    org = rng.uniform(-1.5, 1.5, (256, 3)).astype(np.float32)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays = make_rays(org, d)
+    import unittest.mock as mock
+
+    with mock.patch.object(_pp, "traverse_bvh8", _fake_traverse_bvh8):
+        tl_f, aug_f = make_treelets(s8, 32, flat=True)
+        h_f = tl_mod.traverse_bvh8_binned(
+            aug_f, rays, treelets=tl_f, K=4)
+        h_n = tl_mod.traverse_bvh8_binned(
+            aug_n, rays, treelets=tl_n, K=4)
+    np.testing.assert_allclose(
+        np.asarray(h_f.t), np.asarray(h_n.t), rtol=1e-6)
+    same = np.asarray(h_f.prim_id) == np.asarray(h_n.prim_id)
+    # equal-t ties may pick different prims across tree shapes; require
+    # near-total agreement
+    assert same.mean() > 0.99
+
+
 def test_treelet_boxes_contain_subtrees():
     _, _, s8 = _scene8()
     tl, aug = make_treelets(s8, 32)
@@ -164,14 +236,15 @@ def test_bin_pass_slot_invariants():
 
 
 def test_pair_sweep_machinery():
-    """_pair_order/_pair_fill/_pair_merge (the 2-round engine core)
-    against numpy oracles."""
+    """_pair_count/_pair_compact/_pair_fill/_pair_merge (the 2-round
+    engine core) against numpy oracles."""
     from nanort_tpu.core.options import INVALID_PRIM_ID
     from nanort_tpu.traverse.treelet import (
         _next_bucket,
+        _pair_compact,
+        _pair_count,
         _pair_fill,
         _pair_merge,
-        _pair_order,
     )
     from nanort_tpu.core.ray import Hits
 
@@ -181,18 +254,29 @@ def test_pair_sweep_machinery():
     te = rng.uniform(0, 2, (R, C)).astype(np.float32)
     best_t = rng.uniform(0.5, 3.0, R).astype(np.float32)
 
-    order, key_s, counts, n_act, n_padded = _pair_order(
+    key, dest, counts, n_act, n_padded = _pair_count(
         jnp.asarray(td), jnp.asarray(te), jnp.asarray(best_t), T, C, packet
     )
-    order, key_s, counts = map(np.asarray, (order, key_s, counts))
     act_np = (td < T) & (te <= best_t[:, None])
     key_np = np.where(act_np, td, T).reshape(-1)
     assert int(n_act) == int(act_np.sum())
-    np.testing.assert_array_equal(counts, np.bincount(
+    np.testing.assert_array_equal(np.asarray(counts), np.bincount(
         key_np, minlength=T + 1)[:T])
-    # order groups active pairs by tid, actives first
-    np.testing.assert_array_equal(key_s, np.sort(key_np, kind="stable"))
-    np.testing.assert_array_equal(key_np[order], key_s)
+    B = _next_bucket(int(n_act), packet)
+    order_c, key_c = _pair_compact(key, dest, T, B)
+    order, key_s, counts = map(np.asarray, (order_c, key_c, counts))
+    # grouped keys = actives sorted by tid, then bucket pads (key T)
+    n_act = int(n_act)
+    np.testing.assert_array_equal(
+        key_s[:n_act], np.sort(key_np[key_np < T], kind="stable"))
+    assert np.all(key_s[n_act:] == T)
+    # live order entries index the grid and agree with a full stable
+    # grid sort (compaction preserves grid order before the group sort)
+    np.testing.assert_array_equal(
+        order[:n_act],
+        np.argsort(key_np, kind="stable")[:n_act])
+    np.testing.assert_array_equal(key_np[order[:n_act]], key_s[:n_act])
+    assert np.all(order[n_act:] == R * C)
 
     # fill
     org = rng.uniform(-1, 1, (R, 3)).astype(np.float32)
@@ -208,7 +292,7 @@ def test_pair_sweep_machinery():
         (-(-np.bincount(key_np[key_np < T], minlength=T) // packet)
          * packet).sum())
     n_slots = _next_bucket(int(n_padded) + packet, packet)
-    j_cap = min(R * C, n_slots)
+    j_cap = min(B, n_slots)
     slot_comps, pkt_tid, slot_src = _pair_fill(
         jnp.asarray(order[:j_cap]), jnp.asarray(key_s[:j_cap]),
         jnp.asarray(counts), comps, jnp.asarray(best_t),
@@ -290,7 +374,10 @@ def _np_bvh8_traverse(nodes, leafs, org, d, min_t, max_t, root):
                 stack.append(meta)
                 continue
             lrow = leafs[-meta - 1]
-            for ti in range(int(row[72 + c])):
+            # child-0 count lane folds the order axis (cnt + 16 * axis);
+            # the kernel masks it off, so must the oracle
+            cnt = int(row[72 + c]) & 15 if c == 0 else int(row[72 + c])
+            for ti in range(cnt):
                 p0 = lrow[9 * ti: 9 * ti + 3].astype(np.float64)
                 p1 = lrow[9 * ti + 3: 9 * ti + 6].astype(np.float64)
                 p2 = lrow[9 * ti + 6: 9 * ti + 9].astype(np.float64)
