@@ -401,64 +401,34 @@ def main():
         # (b) interactive build FIRST: fully device-side LBVH -> BVH16
         # (LBVH tree quality traces ~15-20% slower, but the whole build
         # runs on-chip in seconds — the "~10M tris efficiently" capacity
-        # story no longer depends on a minutes-long host pass). This
-        # block runs BEFORE the host-build row: phase A needs ~3.4 GB of
-        # transient contiguous tables and only succeeds on a fresh
-        # allocator — after the host scene's tables + a 67M-ray traverse
-        # it dies on fragmentation (RESOURCE_EXHAUSTED both attempts,
-        # tools/logs/matrix_r4_tenm.log), while this order matches the
-        # protocol that works (tools/logs/exp_r4_devbuild5.out).
-        from nanort_tpu.build.device_collapse import collapse_lbvh_device
+        # story no longer depends on a minutes-long host pass). The
+        # device rows run in a SUBPROCESS (tools/matrix_tenm_device.py):
+        # phase A needs GBs of transient tables and only succeeds on a
+        # fresh allocator, and a failed in-process attempt left HBM in a
+        # state where even the host row's ~1.3 GB device_put died
+        # (tools/logs/matrix_r5_tenm3.log, matrix_r5_tenm4.log).
+        import subprocess
 
-        vd = jax.device_put(jnp.asarray(v))
-        fd = jax.device_put(jnp.asarray(f))
-        jax.block_until_ready(vd)
-        # one retry: runs during TPU fault recovery fail with transient
-        # UNAVAILABLE/INTERNAL errors (memory/axon-tpu-quirks class) —
-        # retry before recording a failure, and record failures as
-        # explicit rows rather than dropping them (ADVICE r3 #2)
-        last_err = None
-        for attempt in range(2):
-            try:
-                t0 = time.perf_counter()
-                sd = collapse_lbvh_device(vd, fd, width=16, max_leaf=9)
-                float(np.asarray(sd.nodes[0, 0]))
-                dev_build_s = time.perf_counter() - t0
-                emit("coherent_primary_mrays_per_s_10mtri_devicebuild",
-                     time_traverse(sd), "Mrays/s",
-                     device_build_incl_compile_s=round(dev_build_s, 2),
-                     res=res, sub=sub_t)
-                last_err = None
-                break
-            except Exception as e:
-                last_err = f"{type(e).__name__}: {e}"[:200]
-                print(f"# devicebuild attempt {attempt} failed: "
-                      f"{type(e).__name__}", file=sys.stderr, flush=True)
-                time.sleep(150)  # TPU worker fault recovery window
-        if last_err is not None:
+        sp = subprocess.run(
+            [sys.executable,
+             os.path.join("tools", "matrix_tenm_device.py")],
+            capture_output=True, text=True,
+            env={**os.environ, "NANORT_MATRIX_TENM_RES": str(res)},
+        )
+        sys.stderr.write(sp.stderr)
+        got = 0
+        for line in sp.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                row = json.loads(line)
+                emit(row.pop("metric"), row.pop("value"),
+                     row.pop("unit"), **row)
+                got += 1
+        if got == 0:
             emit("coherent_primary_mrays_per_s_10mtri_devicebuild",
-                 -1.0, "Mrays/s", error=last_err, res=res, sub=sub_t)
-        else:
-            # warm rebuild (phase compiles cached), VERDICT r3 #4: free
-            # the first build's tables, rebuild the same scene, time it.
-            # Protocol matches tools/exp_r4_devbuild.py (warm 22.2 s in
-            # tools/logs/exp_r4_devbuild5.out); rebuilding while the
-            # first tables are still alive OOMs on fragmentation.
-            try:
-                del sd
-                t0 = time.perf_counter()
-                sd = collapse_lbvh_device(vd, fd, width=16, max_leaf=9)
-                float(np.asarray(sd.nodes[0, 0]))
-                emit("tenm_device_build_warm_s",
-                     time.perf_counter() - t0, "s", res=res)
-            except Exception as e:
-                emit("tenm_device_build_warm_s", -1.0, "s",
-                     error=f"{type(e).__name__}: {e}"[:200])
-        try:
-            del sd
-        except NameError:
-            pass
-        del vd, fd
+                 -1.0, "Mrays/s",
+                 error=f"subprocess rc={sp.returncode}, no rows",
+                 res=res, sub=sub_t)
 
         # (a) quality build: native SAH host build + vectorized collapse
         t0 = time.perf_counter()

@@ -42,6 +42,16 @@ from ..ops.triangle import _exact_prod_diff
 
 _I32MAX = np.int32(2**31 - 1)
 
+# capacity guard for the auto (None) quality extras of
+# collapse_lbvh_device: leaf-merge + preorder are on up to this prim
+# count and off above it. Measured green with extras at 1M
+# (tools/logs/exp_r5_devorder.log); 10M with extras RESOURCE_EXHAUSTEDs
+# on an otherwise-quiet v5e (tools/logs/matrix_r5_tenm4.log) — the
+# merge's sorted 2n-row leaf-bank copies and the preorder relabel
+# scatters are the added transients. 4M sits between the measured
+# points with ~2.5x the 1M working set.
+_EXTRAS_MAX_N = 4_000_000
+
 
 def _next_pow2(x: int) -> int:
     return 1 << max(0, (int(x) - 1).bit_length())
@@ -681,7 +691,6 @@ def _phase_b(vertices, faces, order, sp, s_meta, s_cnt, s_a, s_leaf,
     return nodes, leafs, None
 
 
-@functools.partial(jax.jit, static_argnames=("depth",))
 def _preorder_impl(nodes, leafs, leafs_woop, depth: int):
     """DFS-preorder renumbering of finished width-16 tables, on device.
 
@@ -759,12 +768,27 @@ def _preorder_impl(nodes, leafs, leafs_woop, depth: int):
     return nodes, leafs, leafs_woop
 
 
-def preorder_device(scene: BVH8Scene) -> BVH8Scene:
+_preorder_jit = jax.jit(_preorder_impl, static_argnames=("depth",))
+# donating variant for the internal call inside collapse_lbvh_device,
+# where the un-renumbered tables die here anyway — at 10M tris the
+# relabeling scatter would otherwise hold a second ~GB-scale copy of
+# every table alive
+_preorder_jit_donate = jax.jit(_preorder_impl, static_argnames=("depth",),
+                               donate_argnums=(0, 1, 2))
+
+
+def preorder_device(scene: BVH8Scene, donate: bool = False) -> BVH8Scene:
     """Renumber a width-16 scene's tables into DFS preorder on device
-    (see _preorder_impl). No-op relabeling for traversal semantics."""
+    (see _preorder_impl). No-op relabeling for traversal semantics.
+
+    ``donate=True`` recycles the input tables' device buffers into the
+    output (halves transient HBM at large scales) — the caller's
+    ``scene`` arrays are INVALIDATED; only use when the input scene is
+    dead after the call."""
     if getattr(scene, "width", 8) != 16:
         raise ValueError("preorder_device supports width-16 tables")
-    nodes, leafs, woop = _preorder_impl(
+    impl = _preorder_jit_donate if donate else _preorder_jit
+    nodes, leafs, woop = impl(
         scene.nodes, scene.leafs, scene.leafs_woop,
         depth=int(scene.depth))
     return scene._replace(nodes=nodes, leafs=leafs, leafs_woop=woop)
@@ -779,8 +803,8 @@ def collapse_lbvh_device(
     sah_levels: int = 0,
     sah_bins: int = 16,
     sah_stop: int = 64,
-    merge_leaves: bool = True,
-    preorder: bool = True,
+    merge_leaves: bool | None = None,
+    preorder: bool | None = None,
 ) -> BVH8Scene:
     """One-call device-side scene build: triangles in, packet-kernel
     BVH tables out, everything on the accelerator (two scalar count
@@ -797,9 +821,13 @@ def collapse_lbvh_device(
     rounds; ~8.9% fewer leaf rows at 1M tris, exp_r4_leafmerge) —
     tree shape above the leaves is unchanged. ``preorder``: renumber
     the finished tables into DFS preorder (pure relabeling, records
-    bit-identical; +2% traced, exp_r5_devorder). Both default on —
-    together they attack the device-tree traversal tax at its two
-    measured sources (extra drains, scattered child fetch strides)."""
+    bit-identical; +2% traced, exp_r5_devorder). Both default to AUTO
+    (``None``): on up to ``_EXTRAS_MAX_N`` prims, off above — the
+    merge's sorted copies of the 2n leaf banks and the preorder's
+    relabel scatters push the 10M build past the v5e's transient HBM
+    peak (RESOURCE_EXHAUSTED on an otherwise-quiet chip,
+    tools/logs/matrix_r5_tenm4.log; 1M measured green,
+    tools/logs/exp_r5_devorder.log). Pass ``True`` to force."""
     if width not in (8, 16):
         raise ValueError(f"width must be 8 or 16: {width}")
     if not 1 <= max_leaf <= min(MAX_LEAF_TRIS, 15):
@@ -809,6 +837,10 @@ def collapse_lbvh_device(
     vertices = jnp.asarray(vertices, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
     n = int(faces.shape[0])
+    if merge_leaves is None:
+        merge_leaves = n <= _EXTRAS_MAX_N
+    if preorder is None:
+        preorder = n <= _EXTRAS_MAX_N
     if n > (1 << 24):
         raise ValueError("BVH8 float-int lanes are exact to 2^24 prims")
     NR = 1 if width == 16 else width // 8
@@ -892,6 +924,6 @@ def collapse_lbvh_device(
         depth=depth_i, max_leaf=max_leaf, width=width,
         leafs_woop=leafs_woop)
     if preorder and width == 16:
-        scene = preorder_device(scene)
+        scene = preorder_device(scene, donate=True)
         _memstat("preorder", scene.nodes)
     return scene

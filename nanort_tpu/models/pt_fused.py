@@ -715,7 +715,14 @@ def render_fused_bvh(scene, org, dirs, key, spp, max_bounces=8,
     tracer's shared-stack union shrinks the same way the AO sample-major
     recipe's does. Requires ``spp % spp_lanes == 0``; lane memory scales
     by spp_lanes. For an unbiased azimuth marginal keep
-    ``(spp // spp_lanes) % azimuth_strata == 0``."""
+    ``(spp // spp_lanes) % azimuth_strata == 0``.
+
+    WARMUP FOOTGUN: ``spp`` (and every other kwarg here) is a STATIC
+    kernel-grid parameter — each distinct value is its own multi-minute
+    Pallas compile on the axon backend. Warm up / time at the exact spp
+    you will run: an spp=1 "cheap warmup" before an spp=100 config-B
+    run recompiles and once recorded 6.4 s including compile where the
+    warm kernel runs 1.9 s (memory/axon-tpu-quirks, r4 matrix)."""
     if not fused_bvh_eligible(scene):
         raise ValueError(
             f"scene not eligible for the fused BVH kernel "
