@@ -85,7 +85,12 @@ def main():
     opt8 = BVHBuildOptions(min_leaf_primitives=8, max_leaf_primitives=8)
 
     # ---- headline: 1M tris, 8192^2 coherent primaries ----
-    if "headline" not in SKIP:
+    # headline_unspec is its own skippable row: watertight WITHOUT the
+    # batch specializations (static shear axis + shared origin +
+    # uniform sign) — the general-coherent-batch number, so the gap the
+    # single-camera specializations buy stays visible in the tracked
+    # matrix (VERDICT r4 weak #5)
+    if "headline" not in SKIP or "headline_unspec" not in SKIP:
         res = 8192
         v, f = make_subdivided_sphere_scene(1_000_000)
         mesh = TriangleMesh(vertices=v, faces=f)
@@ -93,7 +98,8 @@ def main():
         t0 = time.perf_counter()
         bvh, _ = build_triangle_bvh(mesh, opt9)
         build_s = time.perf_counter() - t0
-        emit("sah_build_1mtri", len(f) / build_s / 1e6, "Mtris/s")
+        if "headline" not in SKIP:
+            emit("sah_build_1mtri", len(f) / build_s / 1e6, "Mtris/s")
         # bench.py's measured-best recipe: dense BVH16 tables (bit-exact
         # vs BVH8), watertight sub=32 @ 128x64 tiles, woop sub=64 @
         # 256x64 tiles
@@ -106,12 +112,17 @@ def main():
         cam = look_at(eye=(0, 0, 2.2), center=(0, 0, 0),
                       width=res, height=res, fov=60.0)
         rays = pinhole_rays(cam)
-        for engine, sub, tile, woop in (
-            ("turbo", 64, (256, 64), True),
-            ("watertight", 32, (128, 64), False),
-        ):
+        variants = []
+        if "headline" not in SKIP:
+            variants += [("turbo", 64, (256, 64), True, True),
+                         ("watertight", 32, (128, 64), False, True)]
+        if "headline_unspec" not in SKIP:
+            variants += [("watertight_unspec", 32, (128, 64), False,
+                          False)]
+        for engine, sub, tile, woop, specialized in variants:
             rays_t, _ = tile_image_rays(rays, *tile)
-            spec = detect_specialization(rays_t, sub=sub)
+            spec = (detect_specialization(rays_t, sub=sub)
+                    if specialized else None)
             # full spec tuple for BOTH engines, exactly like bench.py
             # (traverse_bvh8 drops kz_static itself for woop); the old
             # (None, shared) form under-specialized the turbo row

@@ -1,0 +1,16 @@
+#!/bin/sh
+# r5 queue 4c: endgame subset matrix re-run — headline_unspec (new
+# tracked row), config_b (picks up the spp-lane auto default),
+# pt_midscale (first tracked run), incoherent (compaction/flat
+# defaults), tenm (process-isolated device tool) — then baseline sync.
+cd /root/repo || exit 1
+L=tools/logs
+while kill -0 "$(cat /tmp/r5q4.pid)" 2>/dev/null; do sleep 30; done
+
+echo "=== matrix subset $(date)" >> $L/r5_queue4.log
+NANORT_MATRIX_MERGE=1 NANORT_MATRIX_SKIP=headline,config_a \
+  timeout 7200 python bench_matrix.py > $L/matrix_r5_subset.log 2>&1
+echo "=== matrix subset rc=$? $(date)" >> $L/r5_queue4.log
+
+python tools/sync_baseline.py >> $L/r5_queue4.log 2>&1
+echo "=== queue4c done $(date)" >> $L/r5_queue4.log
