@@ -299,7 +299,10 @@ def main():
         mesh = TriangleMesh(vertices=v, faces=f)
         bvh, _ = build_triangle_bvh(mesh, opt8)
         s8i = collapse_bvh8(bvh, v, f)
-        tl, s8i = make_treelets(s8i, 512)
+        # T=1024 measured best in the r5 knob sweep (1.105 vs 1.034
+        # Mrays/s at T=512, identical prim selection across every
+        # variant — tools/logs/exp_r5_incoknobs.json)
+        tl, s8i = make_treelets(s8i, 1024)
         s8i = s8i._replace(
             nodes=jax.device_put(jnp.asarray(s8i.nodes)),
             leafs=jax.device_put(jnp.asarray(s8i.leafs)),
@@ -327,7 +330,7 @@ def main():
             run_i()
             ts.append(time.perf_counter() - t0)
         emit("incoherent_random_mrays_per_s_1mtri", R / min(ts) / 1e6,
-             "Mrays/s", engine="treelet_binned", n_treelets=512, K=8,
+             "Mrays/s", engine="treelet_binned", n_treelets=1024, K=8,
              octant_major=True, sub=16)
 
         # ---- realistic incoherent: AO bounce rays off primary hits,
