@@ -90,7 +90,8 @@ def main():
     # uniform sign) — the general-coherent-batch number, so the gap the
     # single-camera specializations buy stays visible in the tracked
     # matrix (VERDICT r4 weak #5)
-    if "headline" not in SKIP or "headline_unspec" not in SKIP:
+    if ("headline" not in SKIP or "headline_unspec" not in SKIP
+            or "headline_devtree" not in SKIP):
         res = 8192
         v, f = make_subdivided_sphere_scene(1_000_000)
         mesh = TriangleMesh(vertices=v, faces=f)
@@ -140,6 +141,36 @@ def main():
             mr = res * res / min(ts) / 1e6
             emit(f"coherent_primary_mrays_per_s_1mtri_{engine}", mr,
                  "Mrays/s", vs_north_star=round(mr / 200, 3))
+
+        # device-built tree on the same scene/rays/engine: tracks the
+        # device-tree traversal tax (VERDICT r4 #4 bar: within 5% of
+        # the host-SAH watertight row above; measured 1.7% same-session
+        # with the leaf-merge + preorder defaults, exp_r5_devgap)
+        if "headline_devtree" not in SKIP:
+            from nanort_tpu.build.device_collapse import (
+                collapse_lbvh_device,
+            )
+
+            t0 = time.perf_counter()
+            sdev = collapse_lbvh_device(jnp.asarray(v), jnp.asarray(f),
+                                        width=16, max_leaf=9)
+            float(np.asarray(sdev.nodes[0, 0]))
+            dev_build_s = time.perf_counter() - t0
+            rays_t, _ = tile_image_rays(rays, 128, 64)
+            spec = detect_specialization(rays_t, sub=32)
+            h = traverse_bvh8(sdev, rays_t, sub=32, specialize=spec)
+            float(h.t.min())
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                h = traverse_bvh8(sdev, rays_t, sub=32, specialize=spec)
+                float(h.t.min())
+                ts.append(time.perf_counter() - t0)
+            mr = res * res / min(ts) / 1e6
+            emit("coherent_primary_mrays_per_s_1mtri_devicebuild", mr,
+                 "Mrays/s", vs_north_star=round(mr / 200, 3),
+                 device_build_incl_compile_s=round(dev_build_s, 2))
+            del sdev
         del s16, bvh, mesh
 
     # ---- config A: objrender 512^2 AOVs + AO ----
