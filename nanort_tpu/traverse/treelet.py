@@ -396,41 +396,27 @@ def _bin_pass(org, dirs, min_t, cur_best_t, tid_k, t_entry_k, tl_roots,
 
 
 @functools.partial(jax.jit, static_argnames=("T", "C", "packet"))
-def _pair_count(td, te, best_t, T, C, packet):
-    """Stage 1 of pair grouping: flat keys + per-treelet active counts
-    + the exclusive running index of each active pair (for stage-2
-    compaction). O(N) elementwise — no sort touches the full (R, C)
-    grid (the grid is ~7x the active count after round-1 pruning;
-    argsorting it cost 614 ms of the 3.9 s incoherent budget,
-    tools/logs/exp_r5_inco.log)."""
+def _pair_order(td, te, best_t, T, C, packet):
+    """Group the (R, C) candidate pair grid by treelet id.
+
+    Returns (order over the flattened grid with active pairs first
+    grouped by tid, grouped keys, per-treelet active counts, total
+    active count, exact packet-aligned slot need).
+
+    One stable argsort over the full grid. A count + scatter-compact +
+    bucket-argsort split (sort only the ~n_act live pairs) was built
+    and measured NEGATIVE at stage level — the pure elementwise count
+    pass alone (key + cumsum + bincount over the 33.5M-entry round-2
+    grid) costs 312 ms vs 614 ms for this whole function: grouping is
+    grid-traffic-bound, not sort-bound
+    (tools/experiments/incoherent_random_ceiling.md, exp_r5_inco2)."""
     act = (td < T) & (te <= best_t[:, None])
     key = jnp.where(act, td, T).astype(jnp.int32).reshape(-1)
-    live = key < T
-    dest = jnp.cumsum(live.astype(jnp.int32)) - 1
-    counts = jnp.bincount(key, length=T + 1)[:T].astype(jnp.int32)
+    order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    key_s = jnp.take(key, order)
+    counts = jnp.bincount(key_s, length=T + 1)[:T].astype(jnp.int32)
     n_padded = jnp.sum(-(-counts // packet) * packet)  # exact slot need
-    return key, dest, counts, jnp.sum(counts), n_padded
-
-
-@functools.partial(jax.jit, static_argnames=("T", "B"))
-def _pair_compact(key, dest, T, B):
-    """Stage 2: scatter the active pairs into a static ``B``-bucket,
-    then group by treelet id with one argsort over just the bucket
-    (compaction preserves grid order; the stable sort then yields the
-    same live-pair order as sorting the full grid did).
-
-    Returns (order: grid indices of the bucket's pairs, grouped keys).
-    Pad entries carry key == T and grid index == len(key) (the callers'
-    ``live = key < T`` masking keeps them inert)."""
-    n = key.shape[0]
-    live = key < T
-    idx = jnp.full((B,), n, jnp.int32)
-    idx = idx.at[jnp.where(live, dest, B)].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
-    key_pad = jnp.concatenate([key, jnp.full((1,), T, key.dtype)])
-    key_c = jnp.take(key_pad, jnp.minimum(idx, n))
-    perm = jnp.argsort(key_c, stable=True).astype(jnp.int32)
-    return jnp.take(idx, perm), jnp.take(key_c, perm)
+    return order, key_s, counts, jnp.sum(counts), n_padded
 
 
 @functools.partial(
@@ -603,7 +589,7 @@ def traverse_bvh8_binned(
         C = td.shape[1]
         if C == 0:
             return bst
-        key, dest, counts, n_act, n_padded = _pair_count(
+        order, key_s, counts, n_act, n_padded = _pair_order(
             td, te, bst.t, T, C, packet
         )
         n_act = int(n_act)  # one host sync per sweep
@@ -613,13 +599,9 @@ def traverse_bvh8_binned(
         # (a worst-case T*(packet-1) pad estimate doubled the gather
         # traffic at large T)
         n_slots = _next_bucket(int(n_padded) + packet, packet)
-        # compaction bucket: every live pair fits (B >= n_act), so the
-        # j_cap slice below can never drop one
-        B = _next_bucket(n_act, packet)
-        order_c, key_c = _pair_compact(key, dest, T, B)
-        j_cap = min(B, n_slots)
-        order_j = jax.lax.slice(order_c, (0,), (j_cap,))
-        key_j = jax.lax.slice(key_c, (0,), (j_cap,))
+        j_cap = min(int(td.shape[0]) * C, n_slots)
+        order_j = jax.lax.slice(order, (0,), (j_cap,))
+        key_j = jax.lax.slice(key_s, (0,), (j_cap,))
         slot_comps, pkt_tid, slot_src = _pair_fill(
             order_j, key_j, counts, cps, bst.t, T, C, packet, n_slots
         )

@@ -236,15 +236,14 @@ def test_bin_pass_slot_invariants():
 
 
 def test_pair_sweep_machinery():
-    """_pair_count/_pair_compact/_pair_fill/_pair_merge (the 2-round
-    engine core) against numpy oracles."""
+    """_pair_order/_pair_fill/_pair_merge (the 2-round engine core)
+    against numpy oracles."""
     from nanort_tpu.core.options import INVALID_PRIM_ID
     from nanort_tpu.traverse.treelet import (
         _next_bucket,
-        _pair_compact,
-        _pair_count,
         _pair_fill,
         _pair_merge,
+        _pair_order,
     )
     from nanort_tpu.core.ray import Hits
 
@@ -254,29 +253,18 @@ def test_pair_sweep_machinery():
     te = rng.uniform(0, 2, (R, C)).astype(np.float32)
     best_t = rng.uniform(0.5, 3.0, R).astype(np.float32)
 
-    key, dest, counts, n_act, n_padded = _pair_count(
+    order, key_s, counts, n_act, n_padded = _pair_order(
         jnp.asarray(td), jnp.asarray(te), jnp.asarray(best_t), T, C, packet
     )
+    order, key_s, counts = map(np.asarray, (order, key_s, counts))
     act_np = (td < T) & (te <= best_t[:, None])
     key_np = np.where(act_np, td, T).reshape(-1)
     assert int(n_act) == int(act_np.sum())
-    np.testing.assert_array_equal(np.asarray(counts), np.bincount(
+    np.testing.assert_array_equal(counts, np.bincount(
         key_np, minlength=T + 1)[:T])
-    B = _next_bucket(int(n_act), packet)
-    order_c, key_c = _pair_compact(key, dest, T, B)
-    order, key_s, counts = map(np.asarray, (order_c, key_c, counts))
-    # grouped keys = actives sorted by tid, then bucket pads (key T)
-    n_act = int(n_act)
-    np.testing.assert_array_equal(
-        key_s[:n_act], np.sort(key_np[key_np < T], kind="stable"))
-    assert np.all(key_s[n_act:] == T)
-    # live order entries index the grid and agree with a full stable
-    # grid sort (compaction preserves grid order before the group sort)
-    np.testing.assert_array_equal(
-        order[:n_act],
-        np.argsort(key_np, kind="stable")[:n_act])
-    np.testing.assert_array_equal(key_np[order[:n_act]], key_s[:n_act])
-    assert np.all(order[n_act:] == R * C)
+    # order groups active pairs by tid, actives first
+    np.testing.assert_array_equal(key_s, np.sort(key_np, kind="stable"))
+    np.testing.assert_array_equal(key_np[order], key_s)
 
     # fill
     org = rng.uniform(-1, 1, (R, 3)).astype(np.float32)
@@ -292,7 +280,7 @@ def test_pair_sweep_machinery():
         (-(-np.bincount(key_np[key_np < T], minlength=T) // packet)
          * packet).sum())
     n_slots = _next_bucket(int(n_padded) + packet, packet)
-    j_cap = min(B, n_slots)
+    j_cap = min(R * C, n_slots)
     slot_comps, pkt_tid, slot_src = _pair_fill(
         jnp.asarray(order[:j_cap]), jnp.asarray(key_s[:j_cap]),
         jnp.asarray(counts), comps, jnp.asarray(best_t),

@@ -107,10 +107,9 @@ def main():
 
     # round-1 sweep internals
     from nanort_tpu.traverse.treelet import (
-        _pair_compact,
-        _pair_count,
         _pair_fill,
         _pair_merge,
+        _pair_order,
         _next_bucket,
     )
     from nanort_tpu.core.options import BVHTraceOptions, INVALID_PRIM_ID
@@ -130,18 +129,16 @@ def main():
     td1, te1 = td[:, 0:1], te[:, 0:1]
 
     def run_order():
-        k_, d_, c, na, npad = _pair_count(td1, te1, best.t, T, 1, packet)
+        o, k, c, na, npad = _pair_order(td1, te1, best.t, T, 1, packet)
         return int(na), int(npad)
 
     timeit("stage_r1_order_ms", run_order)
-    key, dest, counts, n_act, n_padded = _pair_count(
+    order, key_s, counts, n_act, n_padded = _pair_order(
         td1, te1, best.t, T, 1, packet)
     n_slots = _next_bucket(int(n_padded) + packet, packet)
-    B = _next_bucket(int(n_act), packet)
-    order_c, key_c = _pair_compact(key, dest, T, B)
-    j_cap = min(B, n_slots)
-    order_j = jax.lax.slice(order_c, (0,), (j_cap,))
-    key_j = jax.lax.slice(key_c, (0,), (j_cap,))
+    j_cap = min(R, n_slots)
+    order_j = jax.lax.slice(order, (0,), (j_cap,))
+    key_j = jax.lax.slice(key_s, (0,), (j_cap,))
     comps = jnp.concatenate(
         [jnp.concatenate(
             [sflat.org, sflat.dir, sflat.min_t[:, None],

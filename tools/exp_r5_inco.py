@@ -109,22 +109,17 @@ roots_dev = jnp.asarray(tl.roots)
 # ---- rounds ----
 def instrument_sweep(round_tag, td, te, bst):
     C = td.shape[1]
-    key, dest, counts, n_act, n_padded = timed(
-        f"{round_tag}_pair_count",
+    order, key_s, counts, n_act, n_padded = timed(
+        f"{round_tag}_pair_order",
         lambda: jax.block_until_ready(
-            tl_mod._pair_count(td, te, bst.t, T, C, packet)))
+            tl_mod._pair_order(td, te, bst.t, T, C, packet)))
     n_act = int(n_act)
     n_slots = tl_mod._next_bucket(int(n_padded) + packet, packet)
-    B = tl_mod._next_bucket(n_act, packet)
     results[f"{round_tag}_pairs"] = n_act
     results[f"{round_tag}_slots"] = n_slots
-    order_c, key_c = timed(
-        f"{round_tag}_pair_compact",
-        lambda: jax.block_until_ready(
-            tl_mod._pair_compact(key, dest, T, B)))
-    j_cap = min(B, n_slots)
-    order_j = jax.lax.slice(order_c, (0,), (j_cap,))
-    key_j = jax.lax.slice(key_c, (0,), (j_cap,))
+    j_cap = min(R * C, n_slots)
+    order_j = jax.lax.slice(order, (0,), (j_cap,))
+    key_j = jax.lax.slice(key_s, (0,), (j_cap,))
     slot_comps, pkt_tid, slot_src = timed(
         f"{round_tag}_fill",
         lambda: jax.block_until_ready(tl_mod._pair_fill(
