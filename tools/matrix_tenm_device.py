@@ -97,21 +97,32 @@ def run_attempt():
             ts.append(time.perf_counter() - t0)
         return res * res / min(ts) / 1e6
 
+    phase = "device_put"
     try:
         vd = jax.device_put(jnp.asarray(v))
         fd = jax.device_put(jnp.asarray(f))
         jax.block_until_ready(vd)
+        phase = "build"
         t0 = time.perf_counter()
         sd = collapse_lbvh_device(vd, fd, width=16, max_leaf=9)
         float(np.asarray(sd.nodes[0, 0]))
         dev_build_s = time.perf_counter() - t0
+        print(f"# build green in {dev_build_s:.1f}s", file=sys.stderr,
+              flush=True)
+        phase = "traverse"
+        mrays = time_traverse(sd)
         emit("coherent_primary_mrays_per_s_10mtri_devicebuild",
-             time_traverse(sd), "Mrays/s",
+             mrays, "Mrays/s",
              device_build_incl_compile_s=round(dev_build_s, 2),
              res=res, sub=sub_t)
     except Exception as e:
-        print(f"ERR {type(e).__name__}: {e}"[:300], file=sys.stderr,
-              flush=True)
+        import traceback
+        with open(os.path.join(os.path.dirname(__file__), "logs",
+                               "tenm_attempt_trace.log"), "a") as fh:
+            fh.write(f"==== phase={phase} {time.ctime()}\n")
+            fh.write(traceback.format_exc())
+        print(f"ERR [{phase}] {type(e).__name__}: {e}"[:300],
+              file=sys.stderr, flush=True)
         return 3
     # warm rebuild (phase compiles cached), VERDICT r3 #4: free the
     # first build's tables, rebuild the same scene, time it
