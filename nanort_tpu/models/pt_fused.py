@@ -506,8 +506,23 @@ def _render_fused_impl(tri, face, light, rays6, seed, n_lights, spp,
 # the brute sweep stays for <= PT_FUSED_MAX_TRIS scenes where it wins).
 # ---------------------------------------------------------------------
 
-# VMEM cap for leaf+aux+node rows (~0.75 MB per 1K tris at 9/leaf)
-PT_FUSED_BVH_MAX_TRIS = 400_000
+# Eligibility cap for the in-kernel-BVH16 fused route. Two constraints,
+# the second one measured the hard way (r5):
+# - VMEM: leaf+aux+node rows are ~0.75 MB per 1K tris at 9/leaf.
+# - LAUNCH RUNTIME: the whole spp x bounce render is ONE kernel launch,
+#   and the axon v5e worker kills launches that run much past ~2
+#   minutes (both pt_midscale crashes died ~155 s in, process-isolated;
+#   tools/logs/matrix_r5_midscale.log). Measured rates on the config-B
+#   protocol (512^2 x 100 spp, mb=10): 974 faces -> 1.87 s/launch;
+#   100K faces -> ~126 s/launch (31.5 s at spp=25,
+#   tools/logs/exp_r5_midscale_probe.json) — per-tile shared-stack
+#   unions blow up on incoherent bounce rays as the tree deepens, so
+#   the fused win does NOT extrapolate with scene size. Above this cap
+#   the auto-route falls back to the per-bounce megabatch path, which
+#   is slower at protocol scale (~43.5 s) but scales in launches, not
+#   one unkillable launch. 20K keeps a 100-spp launch well under the
+#   watchdog with margin for deeper-than-Cornell trees.
+PT_FUSED_BVH_MAX_TRIS = 20_000
 _BVH_SUB = 16  # block sublanes: the traversal granule (one shared stack)
 
 
@@ -716,6 +731,14 @@ def render_fused_bvh(scene, org, dirs, key, spp, max_bounces=8,
     recipe's does. Requires ``spp % spp_lanes == 0``; lane memory scales
     by spp_lanes. For an unbiased azimuth marginal keep
     ``(spp // spp_lanes) % azimuth_strata == 0``.
+
+    LAUNCH-RUNTIME FOOTGUN: the whole render is one kernel launch and
+    the axon worker kills launches running much past ~2 minutes (see
+    PT_FUSED_BVH_MAX_TRIS). spp scales launch runtime linearly — config
+    B's 100 spp runs 1.87 s on the 974-face protocol scene, so ~6000
+    spp is the watchdog horizon THERE; bigger scenes hit it far sooner.
+    Chunk huge-spp renders into multiple calls with different keys and
+    average on the host.
 
     WARMUP FOOTGUN: ``spp`` (and every other kwarg here) is a STATIC
     kernel-grid parameter — each distinct value is its own multi-minute
