@@ -177,10 +177,11 @@ def make_cornell_dense_pt_scene(n_tris_target: int = 100_000,
                                 size: float = 2.0):
     """Mid-scale path-tracer scene: the Cornell PT box with a densely
     tessellated white sphere replacing the interior boxes
-    (~n_tris_target total triangles). At the default 100K it sits ABOVE
-    PT_FUSED_BVH_MAX_TRIS (the fused launch measured ~126 s there and
-    the worker kills ~2-min launches, exp_r5_midscale_probe) so it
-    exercises the megabatch fallback — the old XLA cliff's territory."""
+    (~n_tris_target total triangles). At the default 100K a SINGLE
+    100-spp fused launch measured ~126 s and trips the ~2-min worker
+    watchdog — render_path_traced chunks it into 4 x spp=25 launches
+    (31.5 s each, measured green; tools/experiments/pt_fused_scale.md)
+    — the old XLA cliff's territory."""
     verts, faces, mids, mats = make_cornell_pt_scene(size)
     n_box = 20  # the two interior boxes: 10 quads = 20 tris
     faces = faces[:-n_box]

@@ -457,6 +457,27 @@ def _auto_spp_batch(spp: int, n_rays: int, cap_rays: int = 8_388_608):
     return best
 
 
+def _fused_bvh_spp_chunk(scene, spp: int, n_rays: int,
+                         max_bounces: int) -> int:
+    """Largest divisor of spp whose single fused-BVH launch stays well
+    under the axon worker's ~2-minute launch kill.
+
+    The budget is in faces x spp units at the 512^2 x mb=10 reference
+    point, scaled by pixels and bounces. Calibration
+    (tools/experiments/pt_fused_scale.md): 100K faces x 25 spp ran
+    31.5 s green and x100 spp (~126 s) was killed; 3.2M units targets
+    ~40 s/launch with that measured constant. The 974-face config-B
+    protocol scene lands at 97K units for the full 100 spp, so it stays
+    a single launch (bit-identical to the unchunked path)."""
+    F = max(int(scene.mesh.num_faces), 1)
+    units = 3_200_000 * (262_144 / max(n_rays, 1)) * (
+        10.0 / max(max_bounces, 1))
+    max_chunk = max(1, int(units // F))
+    if spp <= max_chunk:
+        return spp
+    return max(d for d in range(1, max_chunk + 1) if spp % d == 0)
+
+
 def render_path_traced(
     scene: PTScene,
     cam_rays: Rays,
@@ -527,6 +548,27 @@ def render_path_traced(
             img = render_fused(scene, org, d, key, spp,
                                max_bounces=max_bounces,
                                azimuth_strata=azimuth_strata)
+        elif _fused_bvh_spp_chunk(scene, spp, R, max_bounces) < spp:
+            # WATCHDOG CHUNKING: the axon worker kills kernel launches
+            # running much past ~2 min, and one fused launch's runtime
+            # scales with faces x spp x pixels x bounces
+            # (tools/experiments/pt_fused_scale.md: 974 faces x 100 spp
+            # = 1.87 s green; 100K x 100 = ~126 s DEAD; 100K x 25 =
+            # 31.5 s green). Split spp into equal chunks that each stay
+            # well under the kill, average the chunk images (equal-size
+            # chunks with independent fold_in keys: same estimator).
+            # Each recursive call re-derives azimuth_strata/spp_lanes
+            # for ITS spp, so the wedge cycle stays unbiased per chunk;
+            # all chunks share one compiled kernel.
+            chunk = _fused_bvh_spp_chunk(scene, spp, R, max_bounces)
+            acc = None
+            for i in range(spp // chunk):
+                img_i = render_path_traced(
+                    scene, cam_rays, jax.random.fold_in(key, 7700 + i),
+                    spp=chunk, max_bounces=max_bounces, tile=tile,
+                    fused=True)
+                acc = img_i if acc is None else acc + img_i
+            return acc / (spp // chunk)
         else:
             # BVH-traced fused kernel: blocks share one traversal stack,
             # so image-order rays (1024-pixel-wide strips per block) pay

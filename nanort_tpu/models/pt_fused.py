@@ -517,12 +517,15 @@ def _render_fused_impl(tri, face, light, rays6, seed, n_lights, spp,
 #   100K faces -> ~126 s/launch (31.5 s at spp=25,
 #   tools/logs/exp_r5_midscale_probe.json) — per-tile shared-stack
 #   unions blow up on incoherent bounce rays as the tree deepens, so
-#   the fused win does NOT extrapolate with scene size. Above this cap
-#   the auto-route falls back to the per-bounce megabatch path, which
-#   is slower at protocol scale (~43.5 s) but scales in launches, not
-#   one unkillable launch. 20K keeps a 100-spp launch well under the
-#   watchdog with margin for deeper-than-Cornell trees.
-PT_FUSED_BVH_MAX_TRIS = 20_000
+#   the fused win does NOT extrapolate with scene size. The router
+#   (path_tracer._fused_bvh_spp_chunk) splits spp into equal chunks so
+#   every launch stays ~<=40 s — 100K tris measured green at spp=25
+#   (31.5 s/launch) — which makes launch runtime a non-binding
+#   constraint up to this cap. The cap itself is the largest scale
+#   MEASURED green through the chunked route; above it the auto-route
+#   falls back to the per-bounce megabatch path (unknown VMEM/compile
+#   behavior beyond, and the shared-stack union keeps degrading).
+PT_FUSED_BVH_MAX_TRIS = 120_000
 _BVH_SUB = 16  # block sublanes: the traversal granule (one shared stack)
 
 
@@ -737,8 +740,11 @@ def render_fused_bvh(scene, org, dirs, key, spp, max_bounces=8,
     PT_FUSED_BVH_MAX_TRIS). spp scales launch runtime linearly — config
     B's 100 spp runs 1.87 s on the 974-face protocol scene, so ~6000
     spp is the watchdog horizon THERE; bigger scenes hit it far sooner.
-    Chunk huge-spp renders into multiple calls with different keys and
-    average on the host.
+    Calling through ``render_path_traced`` is SAFE: its router splits
+    spp into watchdog-sized chunks automatically
+    (path_tracer._fused_bvh_spp_chunk). Direct callers of this function
+    must chunk huge spp x faces themselves (multiple calls with
+    fold_in keys, average).
 
     WARMUP FOOTGUN: ``spp`` (and every other kwarg here) is a STATIC
     kernel-grid parameter — each distinct value is its own multi-minute

@@ -7,7 +7,6 @@ rows in first-touch order, and per-slot payloads travel with their
 rows bit-exactly.
 """
 import numpy as np
-import jax.numpy as jnp
 import pytest
 
 from nanort_tpu.build.device_collapse import (

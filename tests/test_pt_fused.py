@@ -182,3 +182,74 @@ def test_fused_bvh_spp_lanes_statistical(cam_rays):
     assert rel < 0.15, (imgk.mean(), img1.mean())
     with pytest.raises(ValueError):
         render_fused_bvh(scene, org, d, 7, 7, spp_lanes=4)
+
+
+# ---------------------------------------------------------------------
+# Watchdog spp-chunking (path_tracer._fused_bvh_spp_chunk): the axon
+# worker kills fused launches running much past ~2 min, so
+# render_path_traced splits spp into equal watchdog-sized launches and
+# averages (tools/experiments/pt_fused_scale.md).
+# ---------------------------------------------------------------------
+
+def test_fused_bvh_spp_chunk_math():
+    from nanort_tpu.models.path_tracer import _fused_bvh_spp_chunk
+
+    class _S:
+        def __init__(self, f):
+            self.mesh = type("M", (), {"num_faces": f})()
+
+    # config-B protocol scene: single launch at full spp (bit-identical
+    # to the unchunked path)
+    assert _fused_bvh_spp_chunk(_S(974), 100, 512 * 512, 10) == 100
+    # the measured 100K point: 4 x spp=25 (31.5 s/launch green; one
+    # spp=100 launch = ~126 s = dead worker)
+    assert _fused_bvh_spp_chunk(_S(99_980), 100, 512 * 512, 10) == 25
+    # cheap bounces widen the budget: mb=2 at 100K ran 17 s in one
+    # launch (exp_r5_midscale_probe s100_b2)
+    assert _fused_bvh_spp_chunk(_S(99_980), 100, 512 * 512, 2) == 100
+    # prime spp has no mid divisor: fall to per-sample launches
+    assert _fused_bvh_spp_chunk(_S(99_980), 97, 512 * 512, 10) == 1
+    # 4x the pixels shrinks the per-launch spp budget
+    assert (_fused_bvh_spp_chunk(_S(99_980), 100, 4 * 512 * 512, 10)
+            <= 10)
+
+
+def test_render_path_traced_chunked_statistical(monkeypatch):
+    """Force a 2-chunk split on a tiny BVH-route scene: the averaged
+    image must agree statistically with the single-launch render (the
+    chunks use independent fold_in keys by design)."""
+    import nanort_tpu.models.path_tracer as ptmod
+    from nanort_tpu.models.pt_fused import (
+        fused_bvh_eligible,
+        render_fused_bvh,
+    )
+
+    sv, sf, mids, mats = make_cornell_pt_scene(2.0)
+    scene = _attach_bvh_tables(make_pt_scene(sv, sf, mids, mats),
+                               sv, sf, mids)
+    # drop the brute table so the router takes the BVH branch
+    scene = scene._replace(face_table=None)
+    assert fused_bvh_eligible(scene)
+
+    calls = []
+    real = ptmod._fused_bvh_spp_chunk
+
+    def fake(sc, spp, n_rays, mb):
+        calls.append(spp)
+        return min(2, spp)
+
+    monkeypatch.setattr(ptmod, "_fused_bvh_spp_chunk", fake)
+    cam = look_at(eye=(0, 0.0, 5.0), center=(0, 0, 0),
+                  width=8, height=8, fov=45.0)
+    img_c = np.asarray(render_path_traced(
+        scene, pinhole_rays(cam), jax.random.PRNGKey(0), spp=4,
+        max_bounces=3, fused=True))
+    assert calls and calls[0] == 4  # the 2-chunk split engaged
+    monkeypatch.setattr(ptmod, "_fused_bvh_spp_chunk", real)
+    img_1 = np.asarray(render_path_traced(
+        scene, pinhole_rays(cam), jax.random.PRNGKey(0), spp=4,
+        max_bounces=3, fused=True))
+    assert img_c.shape == img_1.shape == (8, 8, 3)
+    assert not np.isnan(img_c).any()
+    rel = abs(img_c.mean() - img_1.mean()) / max(img_1.mean(), 1e-9)
+    assert rel < 0.35, (img_c.mean(), img_1.mean())
